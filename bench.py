@@ -1,0 +1,58 @@
+"""Throughput benchmark: 224x224 Synapse slices/sec on the flagship model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no speed numbers (SURVEY.md §6); vs_baseline is
+measured against the north-star target of 5000 slices/sec/chip scaled to
+the visible chip count (BASELINE.json targets v5e-8; we report per-chip).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from transception_tpu.core.config import TransceptionConfig
+    from transception_tpu.models.transception import MSTransception
+
+    cfg = TransceptionConfig()  # bf16 compute, published arch
+    model = MSTransception(cfg)
+
+    batch = 32
+    x = jnp.zeros((batch, 224, 224, 1), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+
+    @jax.jit
+    def fwd(v, x):
+        return jnp.argmax(model.apply(v, x, train=False), axis=-1)
+
+    # Warmup / compile.
+    fwd(variables, x).block_until_ready()
+
+    # Timed runs.
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    slices_per_sec = batch * iters / dt
+
+    n_chips = max(len(jax.devices()), 1)
+    per_chip = slices_per_sec / n_chips
+    target_per_chip = 5000.0 / 8  # north-star: 5000 on v5e-8
+    print(json.dumps({
+        "metric": "synapse_224_inference_slices_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(per_chip / target_per_chip, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

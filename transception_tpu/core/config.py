@@ -1,0 +1,189 @@
+"""Typed configuration for the TransCeption TPU framework.
+
+The reference's effective config is ~40 argparse flags spread over
+train_MSTransception.py:18-95 and semantic mappings done in __main__
+(br_config table at train_MSTransception.py:145-159, LR scaling at :123-124).
+Here the same knob set is one frozen dataclass tree with validated defaults
+matching the published recipe (README.md:61, networks/MSTr.py:2759-2761).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# Convolutional relative position encoding window split, reference
+# networks/MSTr.py:958 (crpe_window={3: 2, 5: 3, 7: 3}).
+CRPE_WINDOW: Tuple[Tuple[int, int], ...] = ((3, 2), (5, 3), (7, 3))
+
+
+def br_config_to_ch_att_list(br_config: int) -> Tuple[bool, bool, bool, bool]:
+    """Bridge layer channel/spatial attention selection.
+
+    Mirrors train_MSTransception.py:145-159 — True means channel attention,
+    False means spatial attention for that bridge layer. The published model
+    uses br_config=2 => (c, s, s, s).
+    """
+    table = {
+        0: (False, False, False, False),
+        1: (True, True, True, True),
+        2: (True, False, False, False),
+        3: (False, True, False, True),
+    }
+    return table.get(br_config, (True, False, True, False))
+
+
+def use_sa_config_to_list(use_sa_config: int, concat: str, stage_3or4: int
+                          ) -> Tuple[bool, ...]:
+    """CBAM spatial-attention enable flags per stage.
+
+    Mirrors networks/MSTr.py:2766-2779 including the override that any
+    non-cbam concat (or 4-stage model) forces [T, T, T, F].
+    """
+    table = {
+        1: (True, True, False),
+        2: (True, False, False),
+        3: (False, False, False),
+        4: (True, True, True),
+    }
+    lst = table.get(use_sa_config, (True, True, True, False))
+    if concat != "cbam" or stage_3or4 == 4:
+        lst = (True, True, True, False)
+    return lst
+
+
+@dataclasses.dataclass(frozen=True)
+class TransceptionConfig:
+    """Model architecture config for MSTransception (networks/MSTr.py:2759-2823).
+
+    Defaults reproduce the published 82.24-DSC configuration:
+    3-stage MSViT backbone, coord IFF, original 4-layer dual bridge with
+    br_config 2 (channel, spatial, spatial, spatial), head_count 8.
+    """
+
+    num_classes: int = 9
+    img_size: int = 224
+    in_chans: int = 3  # gray inputs are repeated to 3 channels (MSTr.py:2828-2829)
+
+    # Backbone dims for the 4 feature scales (MSTr.py:2765).
+    dims: Tuple[int, int, int, int] = (64, 128, 320, 512)
+    # Stage-1 EfficientTransformerBlock count (layers[0]=2, MSTr.py:2765,1668-1670).
+    stage1_layers: int = 2
+    # MHCA stages 2-4: paths / layers / heads (MSViT_config, MSTr.py:1574-1586).
+    num_path: Tuple[int, ...] = (3, 3, 3)
+    num_layers: Tuple[int, ...] = (3, 8, 3)
+    num_heads: Tuple[int, ...] = (8, 8, 8)
+    mlp_ratio: int = 4  # MSTr.py:1590
+
+    head_count: int = 8  # API-parity knob; stage-1/decoder attention forces 1
+    # head (reference hardcodes head_count=1 at MSTr.py:155)
+    token_mlp: str = "mix_skip"  # mix | mix_skip | mlp
+    concat: str = "coord"  # IFF: normal|3d|se|skn|cbam|coord|cam|cam_fact
+    have_bridge: str = "original"  # original | sp | para | none
+    br_ch_att_list: Tuple[bool, bool, bool, bool] = (True, False, False, False)
+    stage_3or4: int = 3  # 3 | 4 | anything-else => casa variant
+    use_sa_config: int = 1
+    sa_ker: int = 7
+    inter: str = "res"  # casa CBAM interface: res | out
+    num_sp: int = 1  # spatial-aware layers in the 'sp' bridge
+    dil_conv: int = 1  # legacy Transception encoder dilation switch
+
+    # Bridge internals (MSTr.py:2800-2809).
+    bridge_dim: int = 64
+    bridge_heads: int = 1
+    reduction_ratios: Tuple[int, int, int, int] = (1, 2, 4, 8)
+
+    # TPU dtype policy: compute dtype for matmuls/convs; params and
+    # norm/softmax accumulators stay fp32.
+    dtype: str = "bfloat16"
+    # Rematerialize encoder stages to trade FLOPs for HBM (jax.checkpoint).
+    remat: bool = False
+    # Use fused Pallas kernels for linear attention where shapes allow.
+    use_pallas: bool = True
+    drop_rate: float = 0.1  # MLP_FFN dropout (MSTr.py:69)
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def use_sa_list(self) -> Tuple[bool, ...]:
+        return use_sa_config_to_list(self.use_sa_config, self.concat,
+                                     self.stage_3or4)
+
+    @property
+    def stage1_res(self) -> int:
+        """Stage-1 token map side (img/4 via the overlapping 7/4/3 stem)."""
+        return self.img_size // 4
+
+    def bridge_token_splits(self) -> Tuple[int, ...]:
+        """Token counts of each scale in the fused bridge sequence, measured
+        in bridge_dim(=64)-channel tokens.
+
+        The reference hardcodes 3136/1568/980/392 for 224 inputs
+        (MSTr.py:2394-2397); here they derive from img_size so non-224
+        inputs work.
+        """
+        c_mults = tuple(d // self.bridge_dim for d in self.dims)  # (1,2,5,8)
+        sides = tuple(self.stage1_res // (1 << i) for i in range(4))
+        return tuple(s * s * m for s, m in zip(sides, c_mults))
+
+    def validate(self) -> "TransceptionConfig":
+        assert self.img_size % 32 == 0, "img_size must be divisible by 32"
+        assert self.token_mlp in ("mix", "mix_skip", "mlp")
+        assert self.have_bridge in ("original", "sp", "para", "none", "None")
+        assert len(self.num_path) == len(self.num_layers) == len(self.num_heads)
+        for d in self.dims:
+            assert d % self.bridge_dim == 0 or d == self.dims[0], (
+                "bridge requires dims to be multiples of bridge_dim")
+        return self
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Synapse/ISIC data pipeline config (datasets/dataset_synapse.py:75-128)."""
+
+    dataset: str = "synapse"  # synapse | isic | synthetic
+    root_path: str = "./data/Synapse/train_npz"
+    test_path: str = "./data/Synapse/test_vol_h5"
+    list_dir: str = "./lists/lists_Synapse"
+    img_size: int = 224
+    num_classes: int = 9
+    num_workers: int = 4
+    augment: bool = True
+    # Synthetic fallback: deterministic random data for envs with no dataset.
+    synthetic_len: int = 2211  # matches lists_Synapse/train.txt
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe (README.md:61; trainer.py:123-157)."""
+
+    base_lr: float = 0.05
+    batch_size: int = 24  # global batch (train_MSTransception.py:35)
+    max_epochs: int = 400
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    use_scheduler: bool = True  # cosine per-iteration (trainer.py:126-127)
+    grad_clipping: bool = False  # clip_grad_norm max 5 (trainer.py:147-148)
+    grad_accum_steps: int = 1  # real impl of the reference's dead flag
+    ce_weight: float = 0.4  # trainer.py:143
+    dice_weight: float = 0.6
+    seed: int = 1234
+    eval_interval: int = 20
+    output_dir: str = "./output"
+    model_name: str = "transception_tpu"
+    # Mesh: data-parallel size (<=0 => all devices); optional model axis.
+    dp_size: int = -1
+    tp_size: int = 1
+    # Checkpointing (orbax): save every N epochs; auto-resume if present.
+    ckpt_every: int = 20
+    resume: bool = True
+
+    def scaled_lr(self) -> float:
+        """LR linear scaling rule (train_MSTransception.py:123-124)."""
+        if self.batch_size != 24 and self.batch_size % 5 == 0:
+            return self.base_lr * self.batch_size / 24
+        return self.base_lr

@@ -1,0 +1,179 @@
+"""Training augmentation: numpy/scipy port of the reference's imgaug
+pipeline (datasets/dataset_synapse.py:84-95):
+
+  SomeOf((0,4), [Flipud(.5), Fliplr(.5), AdditiveGaussianNoise(0.005*255),
+                 GaussianBlur(sigma=1), LinearContrast(0.5-1.5),
+                 Affine(scale 0.5-2), Affine(rotate ±40), Affine(shear ±16),
+                 PiecewiseAffine(0.008-0.03), Affine(translate ±20%)],
+         random_order=True)
+
+Geometric ops transform image (order-1) and label (order-0, via the same
+one-hot->argmax semantics as dataset_synapse.py:27-36); photometric ops touch
+the image only, matching imgaug's segmap behavior. Also provides the
+rot90/±20° helpers from dataset_synapse.py:38-51 for the RandomGenerator
+path. Runs on host numpy — train-only, off the TPU critical path (the
+loader overlaps it with device compute).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+
+def _affine_pair(img, lbl, matrix, offset):
+    out_img = ndimage.affine_transform(img, matrix, offset=offset, order=1,
+                                       mode="constant", cval=0.0)
+    out_lbl = ndimage.affine_transform(lbl, matrix, offset=offset, order=0,
+                                       mode="constant", cval=0.0)
+    return out_img, out_lbl
+
+
+def _centered(matrix, shape):
+    """Offset so the transform is about the image center (imgaug style)."""
+    c = (np.asarray(shape) - 1) / 2.0
+    offset = c - matrix @ c
+    return matrix, offset
+
+
+def aug_flipud(img, lbl, rng):
+    if rng.random() < 0.5:
+        return img[::-1].copy(), lbl[::-1].copy()
+    return img, lbl
+
+
+def aug_fliplr(img, lbl, rng):
+    if rng.random() < 0.5:
+        return img[:, ::-1].copy(), lbl[:, ::-1].copy()
+    return img, lbl
+
+
+def aug_gaussian_noise(img, lbl, rng, scale=0.005 * 255):
+    return img + rng.normal(0.0, scale, img.shape).astype(img.dtype), lbl
+
+
+def aug_gaussian_blur(img, lbl, rng, sigma=1.0):
+    return ndimage.gaussian_filter(img, sigma=sigma), lbl
+
+
+def aug_linear_contrast(img, lbl, rng, lo=0.5, hi=1.5):
+    alpha = rng.uniform(lo, hi)
+    center = 0.5  # float images in [0, 1]
+    return center + alpha * (img - center), lbl
+
+
+def aug_affine_scale(img, lbl, rng, lo=0.5, hi=2.0):
+    sx = rng.uniform(lo, hi)
+    sy = rng.uniform(lo, hi)
+    # output->input mapping: inverse scales.
+    m, off = _centered(np.diag([1.0 / sy, 1.0 / sx]), img.shape)
+    return _affine_pair(img, lbl, m, off)
+
+
+def aug_affine_rotate(img, lbl, rng, deg=40.0):
+    a = np.deg2rad(rng.uniform(-deg, deg))
+    rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+    m, off = _centered(rot, img.shape)
+    return _affine_pair(img, lbl, m, off)
+
+
+def aug_affine_shear(img, lbl, rng, deg=16.0):
+    s = np.tan(np.deg2rad(rng.uniform(-deg, deg)))
+    m, off = _centered(np.array([[1.0, s], [0.0, 1.0]]), img.shape)
+    return _affine_pair(img, lbl, m, off)
+
+
+def aug_affine_translate(img, lbl, rng, frac=0.2):
+    ty = rng.uniform(-frac, frac) * img.shape[0]
+    tx = rng.uniform(-frac, frac) * img.shape[1]
+    m = np.eye(2)
+    return _affine_pair(img, lbl, m, np.array([-ty, -tx]))
+
+
+def aug_piecewise_affine(img, lbl, rng, scale_lo=0.008, scale_hi=0.03,
+                         grid=4):
+    """Coarse random displacement field, bicubically upsampled, applied via
+    map_coordinates — the standard piecewise/elastic approximation."""
+    h, w = img.shape
+    scale = rng.uniform(scale_lo, scale_hi)
+    dy = rng.normal(0, scale * h, (grid + 2, grid + 2))
+    dx = rng.normal(0, scale * w, (grid + 2, grid + 2))
+    dy = ndimage.zoom(dy, (h / dy.shape[0], w / dy.shape[1]), order=3)
+    dx = ndimage.zoom(dx, (h / dx.shape[0], w / dx.shape[1]), order=3)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    coords = np.stack([yy + dy[:h, :w], xx + dx[:h, :w]])
+    out_img = ndimage.map_coordinates(img, coords, order=1, mode="constant")
+    out_lbl = ndimage.map_coordinates(lbl, coords, order=0, mode="constant")
+    return out_img, out_lbl
+
+
+_PIPELINE: List[Callable] = [
+    aug_flipud,
+    aug_fliplr,
+    aug_gaussian_noise,
+    aug_gaussian_blur,
+    aug_linear_contrast,
+    aug_affine_scale,
+    aug_affine_rotate,
+    aug_affine_shear,
+    aug_piecewise_affine,
+    aug_affine_translate,
+]
+
+
+def augment_slice(img: np.ndarray, lbl: np.ndarray,
+                  rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+    """SomeOf((0,4)) of the 10 ops, random order (dataset_synapse.py:84-95)."""
+    k = rng.integers(0, 5)
+    if k == 0:
+        return img, lbl
+    idx = rng.choice(len(_PIPELINE), size=k, replace=False)
+    rng.shuffle(idx)
+    img = np.asarray(img, np.float32)
+    lbl = np.asarray(lbl, np.float32)
+    for i in idx:
+        img, lbl = _PIPELINE[i](img, lbl, rng)
+    return img, lbl
+
+
+# --- RandomGenerator-path helpers (dataset_synapse.py:38-72) ---
+
+def random_rot_flip(img, lbl, rng):
+    k = int(rng.integers(0, 4))
+    img = np.rot90(img, k)
+    lbl = np.rot90(lbl, k)
+    axis = int(rng.integers(0, 2))
+    return np.flip(img, axis=axis).copy(), np.flip(lbl, axis=axis).copy()
+
+
+def random_rotate(img, lbl, rng):
+    angle = float(rng.integers(-20, 20))
+    img = ndimage.rotate(img, angle, order=0, reshape=False)
+    lbl = ndimage.rotate(lbl, angle, order=0, reshape=False)
+    return img, lbl
+
+
+def random_generator_augment(img, lbl, rng):
+    """The alternative torch-side aug (constructed but unused in the
+    reference trainer, trainer.py:89-96; provided for completeness)."""
+    if rng.random() > 0.5:
+        img, lbl = random_rot_flip(img, lbl, rng)
+    elif rng.random() > 0.5:
+        img, lbl = random_rotate(img, lbl, rng)
+    return img, lbl
+
+
+def zoom_to(img: np.ndarray, lbl: np.ndarray, size: int):
+    """Bicubic image / nearest label resize (dataset_synapse.py:109-112)."""
+    x, y = img.shape
+    if x != size or y != size:
+        img = ndimage.zoom(img, (size / x, size / y), order=3)
+        lbl = ndimage.zoom(lbl, (size / x, size / y), order=0)
+    return img, lbl
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    """ToTensor + Normalize([0.5],[0.5]) equivalent (trainer.py:89-93)."""
+    return (np.asarray(img, np.float32) - 0.5) / 0.5

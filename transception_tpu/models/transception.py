@@ -1,0 +1,83 @@
+"""MSTransception — the flagship model (networks/MSTr.py:2759-2852).
+
+Backbone (3/4-stage/casa MSViT) -> optional bridge -> 4-stage decoder
+cascade. NHWC in/out: input (B, H, W, 1|3), output (B, H, W, num_classes)
+fp32 logits. Grayscale inputs are repeated to 3 channels (MSTr.py:2828-2829).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from transception_tpu.core.config import TransceptionConfig
+from transception_tpu.models.bridge import (
+    BridgeBlock4,
+    BridgeBlockPara,
+    BridgeBlockSp,
+    BridgeGeometry,
+)
+from transception_tpu.models.decoder import DecoderLayer
+from transception_tpu.models.msvit import MSViT, MSViT4Stages, MSViTCasa
+
+
+class MSTransception(nn.Module):
+    """U-shaped hierarchical transformer for 2D medical image segmentation."""
+
+    cfg: TransceptionConfig = TransceptionConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        x = x.astype(dt)
+
+        # ---- Encoder ----
+        if cfg.stage_3or4 == 4:
+            backbone = MSViT4Stages(cfg, name="backbone")
+        elif cfg.stage_3or4 == 3:
+            backbone = MSViT(cfg, name="backbone")
+        else:
+            backbone = MSViTCasa(cfg, name="backbone")
+        enc = backbone(x, train)
+
+        # ---- Bridge ----
+        geo = BridgeGeometry(cfg.img_size, cfg.dims, cfg.bridge_dim)
+        bridge_kind = cfg.have_bridge
+        if bridge_kind not in ("none", "None"):
+            if bridge_kind == "sp":
+                enc = BridgeBlockSp(geo, cfg.bridge_heads, cfg.num_sp,
+                                    cfg.reduction_ratios, dtype=dt,
+                                    name="bridge")(enc, deterministic=not train)
+            elif bridge_kind == "para":
+                enc = BridgeBlockPara(geo, cfg.bridge_heads,
+                                      cfg.reduction_ratios, dtype=dt,
+                                      name="bridge")(enc)
+            else:  # 'original' and any other value (MSTr.py:2802-2809)
+                enc = BridgeBlock4(geo, cfg.bridge_heads, cfg.br_ch_att_list,
+                                   cfg.reduction_ratios, dtype=dt,
+                                   name="bridge")(enc)
+
+        # ---- Decoder ----
+        # in_out_chan (MSTr.py:2814): [dim, out_dim, key_dim, value_dim].
+        d = cfg.dims
+        B, h4, w4, c4 = enc[3].shape
+        t3 = enc[3].reshape(B, h4 * w4, c4)
+        t3 = DecoderLayer(d[3], d[3], token_mlp=cfg.token_mlp,
+                          n_class=cfg.num_classes, use_pallas=cfg.use_pallas,
+                          dtype=dt, name="decoder_3")(t3)
+        t2 = DecoderLayer(288, d[2], token_mlp=cfg.token_mlp,
+                          n_class=cfg.num_classes, use_pallas=cfg.use_pallas,
+                          dtype=dt, name="decoder_2")(t3, enc[2])
+        t1 = DecoderLayer(144, d[1], token_mlp=cfg.token_mlp,
+                          n_class=cfg.num_classes, use_pallas=cfg.use_pallas,
+                          dtype=dt, name="decoder_1")(t2, enc[1])
+        logits = DecoderLayer(32, d[0], token_mlp=cfg.token_mlp,
+                              n_class=cfg.num_classes, is_last=True,
+                              use_pallas=cfg.use_pallas, dtype=dt,
+                              name="decoder_0")(t1, enc[0])
+        return logits

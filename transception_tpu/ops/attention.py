@@ -1,0 +1,255 @@
+"""Attention ops — the compute hot path.
+
+Three linear-attention families from the reference, all O(N·d²):
+  * EfficientAttention (Shen et al.): softmax(K over N), softmax(Q over d),
+    out = softmax-Q · (softmax-Kᵀ V).          networks/MSTr.py:80-143
+  * FactorAtt + CRPE (CoaT): softmax(K over N), out = scale·Q·(KᵀV) + CRPE.
+                                                networks/MSTr.py:755-886
+  * MHCA block/encoder wiring.                  networks/MSTr.py:905-993
+
+TPU-first design: the reference's per-head Python loops (MSTr.py:117-139)
+become batched einsums over a head axis; softmaxes accumulate in fp32; the
+two chained contractions are MXU matmuls. An optional fused Pallas kernel
+(ops/pallas/linear_attention.py) handles the context+output product in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from transception_tpu.ops.common import LayerNorm, make_ffn, xavier
+
+Dtype = Any
+
+
+def _softmax_f32(x, axis):
+    return jax.nn.softmax(x.astype(jnp.float32), axis=axis)
+
+
+def efficient_linear_attention(q, k, v, *, use_pallas: bool = False):
+    """Shen-et-al. linear attention on (B, h, N, d) tensors.
+
+    k is softmax-normalized over tokens (N), q over per-head channels (d);
+    context = Kᵀ·V is (d_k, d_v); out = Q·context. Matches the reference's
+    per-head loop semantics (MSTr.py:117-139) exactly, batched.
+    """
+    dt = v.dtype
+    ks = _softmax_f32(k, axis=2).astype(dt)
+    qs = _softmax_f32(q, axis=3).astype(dt)
+    if use_pallas:
+        from transception_tpu.ops.pallas.linear_attention import (
+            fused_linear_attention,
+        )
+        out = fused_linear_attention(qs, ks, v)
+        if out is not None:
+            return out
+    context = jnp.einsum("bhnk,bhnv->bhkv", ks, v,
+                         preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhnk,bhkv->bhnv", qs, context.astype(dt),
+                     preferred_element_type=jnp.float32)
+    return out.astype(dt)
+
+
+def factorized_attention(q, k, v, scale: float, *, use_pallas: bool = False):
+    """CoaT factorized attention on (B, h, N, d): scale·Q·(softmax-Kᵀ·V)."""
+    dt = v.dtype
+    ks = _softmax_f32(k, axis=2).astype(dt)
+    if use_pallas:
+        from transception_tpu.ops.pallas.linear_attention import (
+            fused_linear_attention,
+        )
+        out = fused_linear_attention(q, ks, v)
+        if out is not None:
+            return (scale * out.astype(jnp.float32)).astype(dt)
+    context = jnp.einsum("bhnk,bhnv->bhkv", ks, v,
+                         preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhnk,bhkv->bhnv", q, context.astype(dt),
+                     preferred_element_type=jnp.float32)
+    return (scale * out).astype(dt)
+
+
+def split_heads(x, num_heads: int):
+    """(B, N, C) -> (B, h, N, C/h)."""
+    B, N, C = x.shape
+    return x.reshape(B, N, num_heads, C // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    """(B, h, N, d) -> (B, N, h*d)."""
+    B, h, N, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, h * d)
+
+
+class EfficientAttention(nn.Module):
+    """Linear attention with 1x1-conv (== dense) QKV (MSTr.py:80-143).
+
+    Operates on token sequences directly; a 1x1 conv over B,C,H,W is a
+    Dense over the channel axis, so the reference's reshape round-trips
+    vanish. head_count is 1 everywhere it is used (the reference hardcodes
+    it at MSTr.py:155)."""
+
+    key_channels: int
+    value_channels: int
+    head_count: int = 1
+    use_pallas: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        dense = lambda f, name: nn.Dense(  # noqa: E731
+            f, dtype=self.dtype, param_dtype=jnp.float32, kernel_init=xavier,
+            name=name)
+        k = split_heads(dense(self.key_channels, "keys")(x), self.head_count)
+        q = split_heads(dense(self.key_channels, "queries")(x), self.head_count)
+        v = split_heads(dense(self.value_channels, "values")(x), self.head_count)
+        out = merge_heads(
+            efficient_linear_attention(q, k, v, use_pallas=self.use_pallas))
+        return dense(C, "reprojection")(out)
+
+
+class EfficientTransformerBlock(nn.Module):
+    """LN -> EfficientAttention -> res -> LN -> FFN -> res (MSTr.py:146-173)."""
+
+    dim: int
+    key_dim: int
+    value_dim: int
+    token_mlp: str = "mix_skip"
+    use_pallas: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = EfficientAttention(self.key_dim, self.value_dim, head_count=1,
+                               use_pallas=self.use_pallas, dtype=self.dtype,
+                               name="attn")(h)
+        x = x + h
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = make_ffn(self.token_mlp, self.dim, self.dim * 4, self.dtype,
+                     "mlp")(h, H, W)
+        return x + h
+
+
+class ConvRelPosEnc(nn.Module):
+    """CoaT convolutional relative position encoding (MSTr.py:755-823).
+
+    Per-window-size grouped depthwise convs over V's token map, Hadamard
+    with Q. window maps kernel size -> number of heads using it; channel
+    order is head-major, matching the reference's
+    'B h (H W) Ch -> B (h Ch) H W' rearrange."""
+
+    ch_per_head: int
+    num_heads: int
+    window: tuple = ((3, 2), (5, 3), (7, 3))
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, q, v, H: int, W: int):
+        B, h, N, Ch = q.shape
+        v_img = v.transpose(0, 2, 1, 3).reshape(B, H, W, h * Ch)
+        outs = []
+        start = 0
+        for i, (win, heads) in enumerate(self.window):
+            chs = heads * Ch
+            seg = v_img[..., start:start + chs]
+            start += chs
+            p = win // 2
+            seg = nn.Conv(chs, (win, win), padding=((p, p), (p, p)),
+                          feature_group_count=chs, dtype=self.dtype,
+                          param_dtype=jnp.float32, kernel_init=xavier,
+                          name=f"conv_{i}")(seg)
+            outs.append(seg)
+        conv_v = jnp.concatenate(outs, axis=-1)
+        conv_v = conv_v.reshape(B, N, h, Ch).transpose(0, 2, 1, 3)
+        return q * conv_v
+
+
+class FactorAttConvRelPosEnc(nn.Module):
+    """Factorized attention with CRPE (MSTr.py:826-886).
+
+    The crpe module is shared per MHCAEncoder and passed in bound."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    use_pallas: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int, crpe: ConvRelPosEnc):
+        B, N, C = x.shape
+        h = self.num_heads
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       param_dtype=jnp.float32, kernel_init=xavier,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, h, C // h).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        scale = (C // h) ** -0.5
+        att = factorized_attention(q, k, v, scale, use_pallas=self.use_pallas)
+        out = att + crpe(q, v, H, W)
+        # NB: reference computes scale*factor_att + crpe (MSTr.py:877);
+        # factorized_attention already applied the scale.
+        out = merge_heads(out)
+        return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=xavier, name="proj")(out)
+
+
+class MHCABlock(nn.Module):
+    """CPE -> LN -> FactorAtt(+CRPE) -> res -> LN -> MixFFN_skip -> res
+    (MSTr.py:905-946). cpe/crpe are shared (bound) modules."""
+
+    dim: int
+    num_heads: int = 8
+    mlp_ratio: int = 3
+    use_pallas: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int, cpe, crpe):
+        x = cpe(x, H, W)
+        cur = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + FactorAttConvRelPosEnc(
+            self.dim, num_heads=self.num_heads, use_pallas=self.use_pallas,
+            dtype=self.dtype, name="factoratt_crpe")(cur, H, W, crpe)
+        cur = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + make_ffn("mix_skip", self.dim, self.dim * self.mlp_ratio,
+                         self.dtype, "mlp")(cur, H, W)
+        return x
+
+
+class MHCAEncoder(nn.Module):
+    """Stack of MHCABlocks sharing one CPE + one CRPE (MSTr.py:949-993).
+
+    Input (B, H, W, C) map -> tokens -> blocks -> back to map."""
+
+    dim: int
+    num_layers: int = 1
+    num_heads: int = 8
+    mlp_ratio: int = 3
+    crpe_window: tuple = ((3, 2), (5, 3), (7, 3))
+    use_pallas: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        from transception_tpu.ops.common import ConvPosEnc
+        self.cpe = ConvPosEnc(self.dim, k=3, dtype=self.dtype)
+        self.crpe = ConvRelPosEnc(self.dim // self.num_heads, self.num_heads,
+                                  window=self.crpe_window, dtype=self.dtype)
+        self.layers = [
+            MHCABlock(self.dim, num_heads=self.num_heads,
+                      mlp_ratio=self.mlp_ratio, use_pallas=self.use_pallas,
+                      dtype=self.dtype, name=f"layers_{i}")
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        t = x.reshape(B, H * W, C)
+        for layer in self.layers:
+            t = layer(t, H, W, self.cpe, self.crpe)
+        return t.reshape(B, H, W, C)

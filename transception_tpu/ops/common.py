@@ -1,0 +1,203 @@
+"""Common token-sequence ops (NHWC / (B, N, C) layouts).
+
+Behavioral reference: networks/MSTr.py:21-77 (DWConv/MixFFN family),
+:176-227 (patch expanders), :292-304 (overlap patch embed), :734-752 (CPE).
+All modules compute matmuls/convs in `dtype` (bf16 on TPU) with fp32 params
+and fp32 LayerNorm, and use jnp reshapes instead of einops-on-torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+xavier = nn.initializers.xavier_uniform()
+
+
+def gelu(x):
+    """Exact (erf) GELU to match torch nn.GELU default."""
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
+
+class LayerNorm(nn.Module):
+    """fp32 LayerNorm returning the input compute dtype."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="ln")(x)
+        return y.astype(self.dtype)
+
+
+class DWConv(nn.Module):
+    """3x3 depthwise conv over a token sequence (MSTr.py:21-31).
+
+    (B, N, C) -> reshape to the (H, W) map -> depthwise conv -> back.
+    """
+
+    dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        B, N, C = x.shape
+        t = x.reshape(B, H, W, C)
+        t = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=C,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=xavier, name="dwconv")(t)
+        return t.reshape(B, N, C)
+
+
+class MixFFN(nn.Module):
+    """fc1 -> DWConv -> GELU -> fc2 (MSTr.py:35-46)."""
+
+    c1: int
+    c2: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        h = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=xavier, name="fc1")(x)
+        h = DWConv(self.c2, dtype=self.dtype, name="dwconv")(h, H, W)
+        h = gelu(h)
+        return nn.Dense(self.c1, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=xavier, name="fc2")(h)
+
+
+class MixFFNSkip(nn.Module):
+    """fc1 -> (DWConv + fc1 skip) -> LN -> GELU -> fc2 (MSTr.py:889-902).
+
+    The hot FFN in every encoder/bridge block; fc1 output is computed once
+    and reused for the skip.
+    """
+
+    c1: int
+    c2: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        h = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=xavier, name="fc1")(x)
+        d = DWConv(self.c2, dtype=self.dtype, name="dwconv")(h, H, W)
+        a = LayerNorm(dtype=self.dtype, name="norm1")(d + h)
+        a = gelu(a)
+        return nn.Dense(self.c1, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=xavier, name="fc2")(a)
+
+
+class MLPFFN(nn.Module):
+    """Plain 2-layer MLP with dropout 0.1 (MSTr.py:63-77)."""
+
+    c1: int
+    c2: int
+    drop_rate: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=xavier, name="fc1")(x)
+        h = gelu(h)
+        h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
+        h = nn.Dense(self.c1, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=xavier, name="fc2")(h)
+        return nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
+
+
+def make_ffn(token_mlp: str, dim: int, hidden: int, dtype, name: str):
+    """FFN factory matching the token_mlp switch (MSTr.py:157-162)."""
+    if token_mlp == "mix":
+        return MixFFN(dim, hidden, dtype=dtype, name=name)
+    if token_mlp == "mix_skip":
+        return MixFFNSkip(dim, hidden, dtype=dtype, name=name)
+    return MLPFFN(dim, hidden, dtype=dtype, name=name)
+
+
+class OverlapPatchEmbed(nn.Module):
+    """Conv(k=7, s=4, p=3) stem + LN, returns tokens (MSTr.py:292-304)."""
+
+    dim: int
+    patch_size: int = 7
+    stride: int = 4
+    padding: int = 3
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        y = nn.Conv(self.dim, (self.patch_size, self.patch_size),
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)), dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=xavier,
+                    name="proj")(x)
+        B, H, W, C = y.shape
+        t = LayerNorm(dtype=self.dtype, name="norm")(y.reshape(B, H * W, C))
+        return t, H, W
+
+
+class PatchExpand(nn.Module):
+    """2x pixel-shuffle upsample: Linear(dim->2dim) + rearrange + LN
+    (MSTr.py:176-201). Token layout matches einops
+    'b h w (p1 p2 c) -> b (h p1) (w p2) c'.
+    """
+
+    dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        B, N, C = x.shape
+        y = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, kernel_init=xavier,
+                     name="expand")(x)
+        c = self.dim // 2
+        y = y.reshape(B, H, W, 2, 2, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * H * W, c)
+        return LayerNorm(dtype=self.dtype, name="norm")(y)
+
+
+class FinalPatchExpandX4(nn.Module):
+    """4x upsample: Linear(dim->16dim) + rearrange + LN (MSTr.py:203-227)."""
+
+    dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        B, N, C = x.shape
+        y = nn.Dense(16 * self.dim, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, kernel_init=xavier,
+                     name="expand")(x)
+        y = y.reshape(B, H, W, 4, 4, self.dim)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 16 * H * W, self.dim)
+        return LayerNorm(dtype=self.dtype, name="norm")(y)
+
+
+class ConvPosEnc(nn.Module):
+    """CPVT conditional position encoding: 3x3 depthwise conv + residual on
+    the token map (MSTr.py:734-752)."""
+
+    dim: int
+    k: int = 3
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        B, N, C = x.shape
+        t = x.reshape(B, H, W, C)
+        p = self.k // 2
+        y = nn.Conv(C, (self.k, self.k), padding=((p, p), (p, p)),
+                    feature_group_count=C, dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=xavier,
+                    name="proj")(t)
+        return (y + t).reshape(B, N, C)

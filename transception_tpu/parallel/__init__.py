@@ -1,0 +1,7 @@
+from transception_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicate,
+    shard_params,
+    param_shard_rules,
+)

@@ -1,0 +1,237 @@
+"""Training loop: jit-compiled train step over a device mesh, orbax
+checkpointing, TensorBoard metrics, in-training volume eval.
+
+Replaces trainer.py:72-230. One jit step computes forward, 0.4·CE+0.6·Dice,
+grads, SGD update, and batch-stat updates; GSPMD shards the batch on the
+'data' mesh axis and averages grads over ICI automatically. Checkpoints
+carry params + optimizer + step (the reference saved model-only,
+trainer.py:182-184, with no resume path — here resume is real and
+preemption-safe).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transception_tpu.core.config import DataConfig, TrainConfig, TransceptionConfig
+from transception_tpu.data.loader import HostDataLoader
+from transception_tpu.data.synapse import make_test_dataset, make_train_dataset
+from transception_tpu.eval.inference import run_inference
+from transception_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from transception_tpu.train.losses import segmentation_loss
+from transception_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
+
+logger = logging.getLogger("transception_tpu")
+
+
+def make_train_step(model, num_classes: int, ce_w: float, dice_w: float):
+    def loss_fn(params, batch_stats, images, labels, dropout_rng):
+        outs, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng})
+        total, ce, dc = segmentation_loss(outs, labels, num_classes,
+                                          ce_w, dice_w)
+        return total, (updates["batch_stats"], ce, dc)
+
+    def train_step(state: TrainState, images, labels, dropout_rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, (new_bs, ce, dc)), grads = grad_fn(
+            state.params, state.batch_stats, images, labels, dropout_rng)
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics = {"loss": total, "loss_ce": ce, "loss_dice": dc}
+        return new_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """End-to-end Synapse trainer (the trainer_synapse equivalent)."""
+
+    def __init__(self, model_cfg: TransceptionConfig, train_cfg: TrainConfig,
+                 data_cfg: DataConfig, model=None):
+        from transception_tpu.models.transception import MSTransception
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.data_cfg = data_cfg
+        self.model = model or MSTransception(model_cfg)
+        self.mesh = make_mesh(train_cfg.dp_size, train_cfg.tp_size)
+        os.makedirs(train_cfg.output_dir, exist_ok=True)
+        self._setup_logging()
+
+    def _setup_logging(self):
+        path = os.path.join(self.cfg.output_dir, "log.txt")
+        handler = logging.FileHandler(path)
+        handler.setFormatter(logging.Formatter(
+            "[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S"))
+        logger.addHandler(handler)
+        logger.setLevel(logging.INFO)
+
+    # ---- checkpointing (orbax) ----
+    def _ckpt_dir(self):
+        return os.path.abspath(os.path.join(self.cfg.output_dir, "ckpt"))
+
+    def save_checkpoint(self, state: TrainState, step: int):
+        import orbax.checkpoint as ocp
+        path = os.path.join(self._ckpt_dir(), f"step_{step:08d}")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(state.step),
+        }, force=True)
+        ckptr.wait_until_finished()
+        logger.info("saved checkpoint to %s", path)
+
+    def latest_checkpoint(self) -> Optional[str]:
+        d = self._ckpt_dir()
+        if not os.path.isdir(d):
+            return None
+        steps = sorted(p for p in os.listdir(d) if p.startswith("step_"))
+        return os.path.join(d, steps[-1]) if steps else None
+
+    def restore_checkpoint(self, state: TrainState, path: str) -> TrainState:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": 0,
+        }
+        restored = ckptr.restore(path, target)
+        return state.replace(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"])
+
+    # ---- main loop ----
+    def train(self, max_steps: Optional[int] = None):
+        cfg = self.cfg
+        train_ds = make_train_dataset(self.data_cfg)
+        test_ds = make_test_dataset(self.data_cfg)
+        loader = HostDataLoader(
+            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            num_workers=self.data_cfg.num_workers,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+        steps_per_epoch = len(loader)
+        logger.info("%d iterations per epoch, %d max iterations",
+                    steps_per_epoch, steps_per_epoch * cfg.max_epochs)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        sample = jnp.zeros((cfg.batch_size, self.data_cfg.img_size,
+                            self.data_cfg.img_size, 1), jnp.float32)
+        state = create_train_state(self.model, cfg, steps_per_epoch,
+                                   sample, rng)
+        # Shard: params via TP rules (replicated by default), batch on data.
+        state = state.replace(
+            params=shard_params(state.params, self.mesh),
+            opt_state=jax.device_put(state.opt_state),
+        )
+        if cfg.resume:
+            latest = self.latest_checkpoint()
+            if latest:
+                state = self.restore_checkpoint(state, latest)
+                logger.info("resumed from %s (step %d)", latest,
+                            int(state.step))
+
+        schedule = make_lr_schedule(cfg, steps_per_epoch)
+        step_fn = jax.jit(make_train_step(
+            self.model, self.data_cfg.num_classes, cfg.ce_weight,
+            cfg.dice_weight), donate_argnums=(0,))
+        data_shard = batch_sharding(self.mesh)
+
+        writer = None
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(os.path.join(cfg.output_dir, "tb"))
+        except Exception:  # pragma: no cover
+            pass
+
+        dice_hist, hd95_hist = [], []
+        it = int(state.step)
+        start_epoch = it // max(steps_per_epoch, 1)
+        total_steps = max_steps or steps_per_epoch * cfg.max_epochs
+        t0 = time.time()
+        done = False
+        for epoch in range(start_epoch, cfg.max_epochs):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                images = jax.device_put(batch["image"], data_shard)
+                labels = jax.device_put(batch["label"], data_shard)
+                rng, drop = jax.random.split(rng)
+                state, metrics = step_fn(state, images, labels, drop)
+                it += 1
+                if writer is not None and it % 10 == 0:
+                    lr = float(schedule(it))
+                    writer.add_scalar("info/lr", lr, it)
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"info/{k}", float(v), it)
+                if it % 50 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    logger.info(
+                        "iteration %d : lr %.6f loss %.4f ce %.4f dice %.4f "
+                        "(%.1f img/s)", it, float(schedule(it)), m["loss"],
+                        m["loss_ce"], m["loss_dice"],
+                        50 * cfg.batch_size / max(time.time() - t0, 1e-9))
+                    t0 = time.time()
+                if it >= total_steps:
+                    done = True
+                    break
+            # Eval/checkpoint schedule (trainer.py:179-226, simplified to a
+            # single interval knob).
+            if done or (epoch + 1) % cfg.ckpt_every == 0:
+                self.save_checkpoint(state, it)
+            if done or (epoch + 1) % cfg.eval_interval == 0:
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                d, h = run_inference(self.model, variables, test_ds,
+                                     self.data_cfg.num_classes,
+                                     patch_size=self.data_cfg.img_size,
+                                     log=logger.info)
+                dice_hist.append(d)
+                hd95_hist.append(h)
+            if done:
+                break
+        if writer is not None:
+            writer.close()
+        self._plot_results(dice_hist, hd95_hist)
+        return state, {"dice": dice_hist, "hd95": hd95_hist}
+
+    def _plot_results(self, dice_hist, hd95_hist):
+        """Curves + tsv like trainer.py:50-69 (best-effort)."""
+        if not dice_hist:
+            return
+        try:
+            import pandas as pd
+            df = pd.DataFrame({"mean_dice": dice_hist, "mean_hd95": hd95_hist})
+            df.to_csv(os.path.join(self.cfg.output_dir, "results.tsv"),
+                      sep="\t")
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+            axes[0].plot(dice_hist)
+            axes[0].set_title("Mean Dice")
+            axes[1].plot(hd95_hist)
+            axes[1].set_title("Mean HD95")
+            fig.savefig(os.path.join(self.cfg.output_dir, "curves.png"),
+                        dpi=150)
+            plt.close(fig)
+        except Exception as e:  # pragma: no cover
+            logger.warning("plotting failed: %s", e)
