@@ -1,0 +1,100 @@
+"""CLI + ISIC pipeline tests (synthetic data; tiny shapes)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import tiny_config
+
+
+def test_isic_synthetic_pipeline():
+    from transception_tpu.data.isic import SyntheticISICDataset
+    ds = SyntheticISICDataset(length=4, img_size=64)
+    item = ds.get(0, np.random.default_rng(0))
+    assert item["image"].shape == (64, 64, 3)
+    assert set(np.unique(item["label"])).issubset({0, 1})
+
+
+def test_isic_dice_eval_runs():
+    import jax
+    import jax.numpy as jnp
+    from transception_tpu.data.isic import SyntheticISICDataset, dice_eval
+    from transception_tpu.models.transception import MSTransception
+
+    cfg = tiny_config(num_classes=2)
+    model = MSTransception(cfg)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    ds = SyntheticISICDataset(length=4, img_size=32)
+    d = dice_eval(model, v, ds, img_size=32, batch=2, log=None)
+    assert 0.0 <= d <= 1.0
+
+
+def test_isic_raw_layout(tmp_path):
+    from PIL import Image
+    from transception_tpu.data.isic import ISICDataset
+    img_dir = tmp_path / "images"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("ISIC_0000000", "ISIC_0000001"):
+        Image.fromarray(
+            (rng.random((80, 100, 3)) * 255).astype(np.uint8)).save(
+            img_dir / f"{name}.jpg")
+        Image.fromarray(
+            (rng.random((80, 100)) > 0.5).astype(np.uint8) * 255).save(
+            mask_dir / f"{name}_segmentation.png")
+    ds = ISICDataset(str(img_dir), str(mask_dir), img_size=64, augment=True)
+    assert len(ds) == 2
+    item = ds.get(0, np.random.default_rng(1))
+    assert item["image"].shape == (64, 64, 3)
+    assert item["label"].shape == (64, 64)
+
+
+def test_dataset_factory_isic_fallback():
+    from transception_tpu.core.config import DataConfig
+    from transception_tpu.data.isic import SyntheticISICDataset
+    from transception_tpu.data.synapse import make_test_dataset, make_train_dataset
+    cfg = DataConfig(dataset="isic", root_path="/nonexistent",
+                     test_path="/nonexistent", img_size=32, num_classes=2)
+    assert isinstance(make_train_dataset(cfg), SyntheticISICDataset)
+    assert isinstance(make_test_dataset(cfg), SyntheticISICDataset)
+
+
+def test_cli_configs_roundtrip():
+    """CLI flags -> configs (br_config mapping, ISIC class override)."""
+    import argparse
+    from transception_tpu.cli.common import (
+        add_data_args,
+        add_model_args,
+        add_train_args,
+        build_configs,
+    )
+    p = argparse.ArgumentParser()
+    add_model_args(p)
+    add_data_args(p)
+    add_train_args(p)
+    args = p.parse_args(["--br_config", "3", "--dataset", "ISIC",
+                         "--batch_size", "30"])
+    mcfg, dcfg, tcfg = build_configs(args)
+    assert mcfg.br_ch_att_list == (False, True, False, True)
+    assert mcfg.num_classes == 2 and dcfg.num_classes == 2
+    assert tcfg.scaled_lr() == pytest.approx(0.05 * 30 / 24)
+
+
+def test_cli_train_smoke(tmp_path):
+    """End-to-end: the train CLI on synthetic data for 2 steps."""
+    from transception_tpu.cli.train import main
+    state, hist = main([
+        "--dataset", "synthetic", "--img_size", "32", "--batch_size", "4",
+        "--max_epochs", "1", "--eval_interval", "1",
+        "--output_dir", str(tmp_path), "--max_steps", "2",
+        "--dtype", "float32", "--no_pallas", "--dp_size", "1",
+        "--num_layers", "1,1,1", "--num_path", "2,2,2",
+        "--stage1_layers", "1",
+    ])
+    assert int(state.step) == 2
+    assert os.path.exists(tmp_path / "log.txt")

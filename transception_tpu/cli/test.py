@@ -1,0 +1,112 @@
+"""Evaluation CLI — the test.py equivalent.
+
+    python -m transception_tpu.cli.test --dataset Synapse --br_config 2 \
+        --weight_pth path/to/ckpt   # .pth (auto-converted) or orbax dir
+
+Runs slice-batched 3D volume inference over the test list and reports
+per-class and mean DSC/HD95 (test.py:104-123 protocol). Unlike the
+reference, list_dir is a real flag (test.py:143 hardcoded the author's
+path) and prediction volumes can be saved as .npz (SimpleITK-free).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+from transception_tpu.cli.common import add_data_args, add_model_args, build_configs
+
+
+def load_weights(weight_pth: str, model, variables):
+    """Load either a reference .pth (via the converter) or an orbax dir."""
+    if weight_pth.endswith(".pth") or weight_pth.endswith(".pt"):
+        from transception_tpu.convert.torch2flax import (
+            convert_state_dict,
+            load_pth_checkpoint,
+        )
+        sd = load_pth_checkpoint(weight_pth)
+        converted, report = convert_state_dict(sd, variables)
+        logging.info("converted %d tensors from %s", report["n_converted"],
+                     weight_pth)
+        return converted
+    import orbax.checkpoint as ocp
+    import jax
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "params": jax.device_get(variables["params"]),
+        "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+    }
+    restored = ckptr.restore(os.path.abspath(weight_pth), target)
+    return {"params": restored["params"],
+            "batch_stats": restored["batch_stats"]}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_model_args(p)
+    add_data_args(p)
+    p.add_argument("--weight_pth", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./output")
+    p.add_argument("--is_savenii", action="store_true",
+                   help="save prediction volumes (.npz) next to the log")
+    p.add_argument("--eval_batch", type=int, default=32)
+    p.add_argument("--dtype", dest="dtype_override", type=str, default=None)
+    args = p.parse_args(argv)
+    if args.dtype_override:
+        args.dtype = args.dtype_override
+
+    import jax
+    import jax.numpy as jnp
+    from transception_tpu.data.synapse import make_test_dataset
+    from transception_tpu.eval.inference import make_predictor, run_inference
+    from transception_tpu.models.registry import create_model
+
+    model_cfg, data_cfg, _ = build_configs(args)
+    model = create_model(args.model, model_cfg)
+
+    os.makedirs(os.path.join(args.output_dir, "test_log"), exist_ok=True)
+    logging.basicConfig(
+        filename=os.path.join(args.output_dir, "test_log", "eval.txt"),
+        level=logging.INFO,
+        format="[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S")
+    logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+    logging.info(str(args))
+
+    x = jnp.zeros((1, args.img_size, args.img_size, 1), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    variables = load_weights(args.weight_pth, model, variables)
+
+    test_ds = make_test_dataset(data_cfg)
+    mean_dice, mean_hd95 = run_inference(
+        model, variables, test_ds, data_cfg.num_classes,
+        patch_size=args.img_size, batch=args.eval_batch, log=logging.info)
+
+    if args.is_savenii:
+        save_dir = os.path.join(args.output_dir, "predictions")
+        os.makedirs(save_dir, exist_ok=True)
+        predict = make_predictor(model, variables, args.img_size,
+                                 args.eval_batch)
+        from transception_tpu.eval.inference import (
+            _resize_pred_back,
+            _resize_slices_scipy,
+        )
+        for i in range(len(test_ds)):
+            s = test_ds.get(i)
+            sl = (_resize_slices_scipy(np.asarray(s["image"], np.float32),
+                                       args.img_size) - 0.5) / 0.5
+            pred = _resize_pred_back(predict(sl), s["image"].shape[1],
+                                     s["image"].shape[2])
+            np.savez_compressed(
+                os.path.join(save_dir, f"{s['case_name']}_pred.npz"),
+                pred=pred.astype(np.uint8), label=s["label"].astype(np.uint8))
+        logging.info("saved predictions to %s", save_dir)
+    return mean_dice, mean_hd95
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""ISIC 2018 skin-lesion binary segmentation (README.md:54,103-107 names
+the config; the reference ships no loader, so this follows the Synapse
+loader pattern).
+
+Supports two layouts:
+  * raw: paired image (jpg/png) + mask (png, '*_segmentation.png') dirs —
+    the official ISIC 2018 Task-1 layout;
+  * preprocessed: a single .npy/.npz per split with 'image' (N,H,W,3
+    float in [0,1]) and 'label' (N,H,W) arrays.
+Binary labels {0,1}; images resized bicubic / masks nearest to img_size.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from scipy import ndimage
+
+from transception_tpu.data.augment import augment_slice, normalize_image
+
+
+def _resize_rgb(img: np.ndarray, size: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    if h == size and w == size:
+        return img
+    return ndimage.zoom(img, (size / h, size / w, 1), order=1)
+
+
+class ISICDataset:
+    """Raw-layout ISIC dataset (train or eval split by file list)."""
+
+    def __init__(self, image_dir: str, mask_dir: str, img_size: int = 224,
+                 augment: bool = True, file_list: Optional[List[str]] = None):
+        self.image_dir = image_dir
+        self.mask_dir = mask_dir
+        self.img_size = img_size
+        self.augment = augment
+        if file_list is None:
+            file_list = sorted(
+                os.path.splitext(os.path.basename(p))[0]
+                for p in glob.glob(os.path.join(image_dir, "*.jpg"))
+                + glob.glob(os.path.join(image_dir, "*.png")))
+        self.names = file_list
+
+    def __len__(self):
+        return len(self.names)
+
+    def _load_pair(self, name: str):
+        from PIL import Image
+        img_path = None
+        for ext in (".jpg", ".png"):
+            p = os.path.join(self.image_dir, name + ext)
+            if os.path.exists(p):
+                img_path = p
+                break
+        mask_path = os.path.join(self.mask_dir, name + "_segmentation.png")
+        img = np.asarray(Image.open(img_path).convert("RGB"),
+                         np.float32) / 255.0
+        mask = (np.asarray(Image.open(mask_path).convert("L"),
+                           np.float32) > 127.5).astype(np.float32)
+        return img, mask
+
+    def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        name = self.names[idx]
+        img, mask = self._load_pair(name)
+        img = _resize_rgb(img, self.img_size)
+        if mask.shape[0] != self.img_size or mask.shape[1] != self.img_size:
+            mask = ndimage.zoom(mask, (self.img_size / mask.shape[0],
+                                       self.img_size / mask.shape[1]),
+                                order=0)
+        if self.augment:
+            # Augment per channel with a shared geometric transform: run the
+            # pipeline on the luminance for the label and apply the same ops
+            # channel-wise via a fixed seed.
+            seed = int(rng.integers(0, 2 ** 31 - 1))
+            chans = []
+            for c in range(3):
+                r = np.random.default_rng(seed)
+                ic, mask_c = augment_slice(img[..., c], mask, r)
+                chans.append(ic)
+            img = np.stack(chans, axis=-1)
+            mask = mask_c
+        return {
+            "image": normalize_image(img),  # (H, W, 3)
+            "label": np.round(mask).astype(np.int32),
+            "case_name": name,
+        }
+
+
+class ISICPreprocessedDataset:
+    """Single-file preprocessed layout."""
+
+    def __init__(self, path: str, img_size: int = 224, augment: bool = True):
+        data = np.load(path, allow_pickle=False)
+        self.images = np.asarray(data["image"], np.float32)
+        self.labels = np.asarray(data["label"], np.float32)
+        self.img_size = img_size
+        self.augment = augment
+
+    def __len__(self):
+        return len(self.images)
+
+    def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        img = self.images[idx]
+        mask = self.labels[idx]
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, -1)
+        img = _resize_rgb(img, self.img_size)
+        if mask.shape != (self.img_size, self.img_size):
+            mask = ndimage.zoom(mask, (self.img_size / mask.shape[0],
+                                       self.img_size / mask.shape[1]),
+                                order=0)
+        if self.augment:
+            seed = int(rng.integers(0, 2 ** 31 - 1))
+            chans = []
+            for c in range(3):
+                r = np.random.default_rng(seed)
+                ic, mask_c = augment_slice(img[..., c], mask, r)
+                chans.append(ic)
+            img = np.stack(chans, axis=-1)
+            mask = mask_c
+        return {
+            "image": normalize_image(img),
+            "label": np.round(mask).astype(np.int32),
+            "case_name": f"isic_{idx:05d}",
+        }
+
+
+class SyntheticISICDataset:
+    """Deterministic random RGB lesions for tests/benchmarks."""
+
+    def __init__(self, length: int = 256, img_size: int = 224,
+                 augment: bool = False):
+        self.length = length
+        self.img_size = img_size
+        self.augment = augment
+
+    def __len__(self):
+        return self.length
+
+    def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        g = np.random.default_rng(5000 + idx)
+        s = self.img_size
+        img = g.random((s, s, 3), np.float32)
+        yy, xx = np.mgrid[0:s, 0:s]
+        cy, cx = g.integers(s // 4, 3 * s // 4, 2)
+        r = g.integers(s // 8, s // 4)
+        mask = (((yy - cy) ** 2 + (xx - cx) ** 2) < r * r).astype(np.int32)
+        return {"image": normalize_image(img), "label": mask,
+                "case_name": f"synthetic_isic_{idx}"}
+
+
+def dice_eval(model, variables, dataset, img_size: int = 224,
+              batch: int = 32, log=print) -> float:
+    """Binary dice over an eval split (the reference's ISIC protocol is a
+    plain 2D dice, no volumes)."""
+    import jax
+    import jax.numpy as jnp
+    from transception_tpu.eval.metrics import dice_coefficient
+
+    @jax.jit
+    def fwd(x):
+        return jnp.argmax(model.apply(variables, x, train=False), axis=-1)
+
+    dices = []
+    n = len(dataset)
+    rng = np.random.default_rng(0)
+    for start in range(0, n, batch):
+        idxs = range(start, min(start + batch, n))
+        items = [dataset.get(i, rng) for i in idxs]
+        x = np.stack([it["image"] for it in items])
+        if x.shape[0] < batch:
+            x = np.pad(x, ((0, batch - x.shape[0]), (0, 0), (0, 0), (0, 0)))
+        pred = np.asarray(fwd(jnp.asarray(x)))[:len(items)]
+        for p, it in zip(pred, items):
+            dices.append(dice_coefficient(p > 0, it["label"] > 0))
+    mean = float(np.mean(dices)) if dices else 0.0
+    if log:
+        log(f"ISIC eval: mean_dice {mean:.6f} over {len(dices)} images")
+    return mean

@@ -123,8 +123,31 @@ class SyntheticVolumeDataset:
                 "case_name": f"synthetic_vol_{idx}"}
 
 
+def _make_isic(path: str, img_size: int, augment: bool):
+    from transception_tpu.data.isic import (
+        ISICDataset,
+        ISICPreprocessedDataset,
+        SyntheticISICDataset,
+    )
+    if path.endswith((".npz", ".npy")) and os.path.exists(path):
+        return ISICPreprocessedDataset(path, img_size, augment)
+    if os.path.isdir(path):
+        # Official layout: <root>/images + <root>/masks, or the ISIC dir
+        # names (Task1-2_Training_Input / Task1_Training_GroundTruth).
+        for img_sub, mask_sub in (
+                ("images", "masks"),
+                ("ISIC2018_Task1-2_Training_Input",
+                 "ISIC2018_Task1_Training_GroundTruth")):
+            i, m = os.path.join(path, img_sub), os.path.join(path, mask_sub)
+            if os.path.isdir(i) and os.path.isdir(m):
+                return ISICDataset(i, m, img_size, augment)
+    return SyntheticISICDataset(img_size=img_size, augment=augment)
+
+
 def make_train_dataset(cfg) -> object:
     """DataConfig -> dataset; falls back to synthetic when files absent."""
+    if cfg.dataset == "isic":
+        return _make_isic(cfg.root_path, cfg.img_size, cfg.augment)
     if cfg.dataset == "synthetic" or not os.path.isdir(cfg.root_path):
         return SyntheticSliceDataset(length=cfg.synthetic_len,
                                      img_size=cfg.img_size,
@@ -135,6 +158,8 @@ def make_train_dataset(cfg) -> object:
 
 
 def make_test_dataset(cfg) -> object:
+    if cfg.dataset == "isic":
+        return _make_isic(cfg.test_path, cfg.img_size, augment=False)
     if cfg.dataset == "synthetic" or not os.path.isdir(cfg.test_path):
         return SyntheticVolumeDataset(num_classes=cfg.num_classes)
     return SynapseVolumeDataset(cfg.test_path, cfg.list_dir)

@@ -350,6 +350,89 @@ class Transception(nn.Module):
                             name="decoder_0")(t1, enc[0])
 
 
+class OverlapPatchEmbedFusePadding(nn.Module):
+    """Patch embed that center-pads the map up to a target size before
+    flattening (EffSegformer.py:91-114, 'padding before transformer')."""
+
+    dim: int
+    patch_size: int
+    stride: int
+    padding: int
+    dilation: int = 1
+    target_size: int = 28
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        y = nn.Conv(self.dim, (self.patch_size, self.patch_size),
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=xavier, name="proj")(x)
+        B, H1, W1, C = y.shape
+        H2 = self.target_size
+        if H1 != H2:
+            pad = (H2 - H1) // 2
+            y = jnp.pad(y, ((0, 0), (pad, H2 - H1 - pad),
+                            (pad, H2 - H1 - pad), (0, 0)))
+        B, H, W, C = y.shape
+        t = LayerNorm(dtype=self.dtype, name="norm")(y.reshape(B, H * W, C))
+        return t, H, W
+
+
+class MiTInception4Stage(nn.Module):
+    """4-stage two-branch inception encoder (Transception.py:728-889).
+
+    NB the shipped class passes OverlapPatchEmbeddings_fuse arguments in
+    the wrong positions (dilation gets 3 / in_dim, Transception.py:752-762)
+    and is dead code; this rebuild uses the intended semantics (dilation 1,
+    kernels 7/5 then 3/1, paddings (3,3)/(0,0))."""
+
+    cfg: TransceptionConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        dims = cfg.dims
+        layers = (2, 2, 2, 2)
+        k1, p1 = (7, 3, 3, 3), (3, 0, 0, 0)
+        k2, p2 = (5, 1, 1, 1), (3, 0, 0, 0)
+        strides = (4, 2, 2, 2)
+        outs = []
+        m = x
+        target = cfg.img_size
+        for s in range(4):
+            target //= strides[s]
+            x1, H1, W1 = OverlapPatchEmbedFuse(
+                dims[s], k1[s], strides[s], p1[s], 1, dtype=dt,
+                name=f"patch_embed{s + 1}_1")(m)
+            x2, H2, W2 = OverlapPatchEmbedFuse(
+                dims[s], k2[s], strides[s], p2[s], 1, dtype=dt,
+                name=f"patch_embed{s + 1}_2")(m)
+            n1, n2 = x1.shape[1], x2.shape[1]
+            cat = jnp.concatenate([x1, x2], axis=1)
+            for i in range(layers[s]):
+                cat = EfficientTransformerBlockFuse(
+                    dims[s], dims[s], dims[s], head_count=cfg.head_count,
+                    token_mlp=cfg.token_mlp, dtype=dt,
+                    name=f"block{s + 1}_{i}")(
+                    cat, (n1, n2), ((H1, W1), (H2, W2)))
+            cat = LayerNorm(dtype=dt, name=f"norm{s + 1}")(cat)
+            B = cat.shape[0]
+            m1 = cat[:, :n1, :].reshape(B, H1, W1, dims[s])
+            m2 = cat[:, n1:, :].reshape(B, H2, W2, dims[s])
+            m1 = torch_nearest_resize(m1, target, target)
+            m2 = torch_nearest_resize(m2, target, target)
+            merged = jnp.concatenate([m1, m2], axis=-1)
+            m = nn.Conv(dims[s], (1, 1), dtype=dt, param_dtype=jnp.float32,
+                        kernel_init=xavier, name=f"conv1_1_s{s + 1}")(merged)
+            outs.append(m)
+        return outs
+
+
 # ---------------------------------------------------------------------------
 # MISSFormer family (rebuilt segformer blocks)
 # ---------------------------------------------------------------------------

@@ -35,18 +35,19 @@ def efficient_linear_attention(q, k, v, *, use_pallas: bool = False):
 
     k is softmax-normalized over tokens (N), q over per-head channels (d);
     context = Kᵀ·V is (d_k, d_v); out = Q·context. Matches the reference's
-    per-head loop semantics (MSTr.py:117-139) exactly, batched.
-    """
+    per-head loop semantics (MSTr.py:117-139) exactly, batched. With
+    use_pallas, the softmaxes and both contractions fuse into one VMEM
+    kernel (ops/pallas/linear_attention_kernel.py)."""
     dt = v.dtype
-    ks = _softmax_f32(k, axis=2).astype(dt)
-    qs = _softmax_f32(q, axis=3).astype(dt)
     if use_pallas:
         from transception_tpu.ops.pallas.linear_attention import (
             fused_linear_attention,
         )
-        out = fused_linear_attention(qs, ks, v)
+        out = fused_linear_attention(q, k, v, q_softmax=True)
         if out is not None:
             return out
+    ks = _softmax_f32(k, axis=2).astype(dt)
+    qs = _softmax_f32(q, axis=3).astype(dt)
     context = jnp.einsum("bhnk,bhnv->bhkv", ks, v,
                          preferred_element_type=jnp.float32)
     out = jnp.einsum("bhnk,bhkv->bhnv", qs, context.astype(dt),
@@ -57,14 +58,14 @@ def efficient_linear_attention(q, k, v, *, use_pallas: bool = False):
 def factorized_attention(q, k, v, scale: float, *, use_pallas: bool = False):
     """CoaT factorized attention on (B, h, N, d): scale·Q·(softmax-Kᵀ·V)."""
     dt = v.dtype
-    ks = _softmax_f32(k, axis=2).astype(dt)
     if use_pallas:
         from transception_tpu.ops.pallas.linear_attention import (
             fused_linear_attention,
         )
-        out = fused_linear_attention(q, ks, v)
+        out = fused_linear_attention(q, k, v, q_softmax=False)
         if out is not None:
             return (scale * out.astype(jnp.float32)).astype(dt)
+    ks = _softmax_f32(k, axis=2).astype(dt)
     context = jnp.einsum("bhnk,bhnv->bhkv", ks, v,
                          preferred_element_type=jnp.float32)
     out = jnp.einsum("bhnk,bhkv->bhnv", q, context.astype(dt),

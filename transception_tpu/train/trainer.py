@@ -200,10 +200,16 @@ class Trainer:
             if done or (epoch + 1) % cfg.eval_interval == 0:
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
-                d, h = run_inference(self.model, variables, test_ds,
-                                     self.data_cfg.num_classes,
-                                     patch_size=self.data_cfg.img_size,
-                                     log=logger.info)
+                if self.data_cfg.dataset == "isic":
+                    from transception_tpu.data.isic import dice_eval
+                    d = dice_eval(self.model, variables, test_ds,
+                                  self.data_cfg.img_size, log=logger.info)
+                    h = 0.0
+                else:
+                    d, h = run_inference(self.model, variables, test_ds,
+                                         self.data_cfg.num_classes,
+                                         patch_size=self.data_cfg.img_size,
+                                         log=logger.info)
                 dice_hist.append(d)
                 hd95_hist.append(h)
             if done:
