@@ -27,10 +27,17 @@ from transception_tpu.eval.metrics import metric_per_case
 
 def _resize_slices_scipy(vol: np.ndarray, size: int,
                          workers: int = 8) -> np.ndarray:
-    """Per-slice order-3 spline zoom (exact reference numerics)."""
+    """Per-slice order-3 spline zoom (exact reference numerics).
+
+    Uses the native threaded resampler (transception_tpu/native) when the
+    toolchain built it — bit-identical to scipy, ~3x faster per volume."""
     d, h, w = vol.shape
     if h == size and w == size:
         return vol.astype(np.float32)
+    from transception_tpu.native import zoom2d_batch
+    native = zoom2d_batch(vol.astype(np.float32), size, size, 3)
+    if native is not None:
+        return native
 
     def one(i):
         return ndimage.zoom(vol[i], (size / h, size / w), order=3)
@@ -45,6 +52,10 @@ def _resize_pred_back(pred: np.ndarray, h: int, w: int) -> np.ndarray:
     d, ph, pw = pred.shape
     if ph == h and pw == w:
         return pred
+    from transception_tpu.native import zoom2d_batch
+    native = zoom2d_batch(pred.astype(np.float32), h, w, 0)
+    if native is not None:
+        return native.astype(pred.dtype)
     out = np.empty((d, h, w), pred.dtype)
     for i in range(d):
         out[i] = ndimage.zoom(pred[i], (h / ph, w / pw), order=0)
