@@ -67,6 +67,28 @@ def test_dispatch_falls_back_off_tpu():
     assert fused_linear_attention(q, q, q) is None
 
 
+@pytest.mark.parametrize("q_softmax", [False, True])
+def test_custom_vjp_backward_matches_autodiff(q_softmax):
+    """The hand-written einsum backward (used when the fused kernel runs
+    under jax.grad) must equal autodiff of the XLA reference path."""
+    from transception_tpu.ops.pallas.linear_attention import _fused_bwd
+    q, k, v = (_rand((2, 1, 32, 64), i) for i in range(3))
+    g = _rand((2, 1, 32, 64), 9)
+
+    def ref(q, k, v):
+        if q_softmax:
+            out = efficient_linear_attention(q, k, v, use_pallas=False)
+        else:
+            out = factorized_attention(q, k, v, 1.0, use_pallas=False)
+        return jnp.sum(out * g)
+
+    want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    got = _fused_bwd(q_softmax, (q, k, v), g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_efficient_attention_use_pallas_flag_safe_on_cpu():
     q, k, v = (_rand((1, 2, 32, 16), i) for i in range(3))
     a = efficient_linear_attention(q, k, v, use_pallas=True)

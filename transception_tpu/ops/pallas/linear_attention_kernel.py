@@ -24,6 +24,18 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
+def eligible(q_shape, v_shape, dtype) -> bool:
+    """Static shape gate. Measured on v5e: the fused kernel wins for
+    single-/few-head shapes with head dim >= 64 (stage-1/decoder/bridge
+    attention, 1.5-2.1x); many-head tiny-d shapes (MHCA stages, d=8..40)
+    lower better via XLA."""
+    B, h, N, dk = q_shape
+    dv = v_shape[-1]
+    itemsize = jnp.dtype(dtype).itemsize
+    need = (2 * N * dk + 2 * N * dv) * itemsize + (N * dk + dk * dv) * 4
+    return need <= _VMEM_BUDGET_BYTES and min(dk, dv) >= 64
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, q_softmax: bool):
     q = q_ref[0]
     k = k_ref[0].astype(jnp.float32)
@@ -65,14 +77,8 @@ def linear_attention(q, k, v, q_softmax: bool = False,
     B, h, N, dk = q.shape
     dv = v.shape[-1]
     itemsize = jnp.dtype(q.dtype).itemsize
-    need = (2 * N * dk + 2 * N * dv) * itemsize + (N * dk + dk * dv) * 4
-    if need > _VMEM_BUDGET_BYTES:
-        raise NotImplementedError("shape exceeds VMEM budget")
-    # Measured on v5e: the fused kernel wins for single-/few-head shapes
-    # with head dim >= 64 (stage-1/decoder/bridge attention, 1.5-2.1x);
-    # many-head tiny-d shapes (MHCA stages, d=8..40) lower better via XLA.
-    if min(dk, dv) < 64:
-        raise NotImplementedError("tiny head dim: XLA path is faster")
+    if not eligible(q.shape, v.shape, q.dtype):
+        raise NotImplementedError("shape ineligible for the fused kernel")
 
     bh = B * h
     qr = q.reshape(bh, N, dk)
