@@ -41,6 +41,9 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder stages (gradient checkpointing)")
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--drop_path_rate", type=float, default=0.0)
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax NaN checking (slow; debugging only)")
 
 
 def add_data_args(p: argparse.ArgumentParser):
@@ -102,7 +105,11 @@ def build_configs(args):
         dtype=args.dtype,
         remat=getattr(args, "remat", False),
         use_pallas=not getattr(args, "no_pallas", False),
+        drop_path_rate=getattr(args, "drop_path_rate", 0.0),
     ).validate()
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
     data_cfg = DataConfig(
         dataset=args.dataset.lower(),
         root_path=args.root_path,

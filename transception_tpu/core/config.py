@@ -103,6 +103,9 @@ class TransceptionConfig:
     # Use fused Pallas kernels for linear attention where shapes allow.
     use_pallas: bool = True
     drop_rate: float = 0.1  # MLP_FFN dropout (MSTr.py:69)
+    # Stochastic depth; the reference's dpr_generator runs at 0.0
+    # (MSTr.py:1592) — here the knob is functional.
+    drop_path_rate: float = 0.0
 
     @property
     def compute_dtype(self):

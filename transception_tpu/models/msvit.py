@@ -32,6 +32,20 @@ from transception_tpu.ops.fusion import (
 Dtype = Any
 
 
+def dpr_schedule(drop_path_rate: float, num_layers):
+    """Linear drop-path decay split per stage (MSTr.py:1112-1124)."""
+    total = sum(num_layers)
+    if total == 0 or drop_path_rate == 0.0:
+        return [tuple(0.0 for _ in range(n)) for n in num_layers]
+    import numpy as np
+    flat = list(np.linspace(0.0, drop_path_rate, total))
+    out, cur = [], 0
+    for n in num_layers:
+        out.append(tuple(float(v) for v in flat[cur:cur + n]))
+        cur += n
+    return out
+
+
 class MHCAStage(nn.Module):
     """MB-Transformer stage + IFF fusion (MSTr.py:1350-1441).
 
@@ -45,6 +59,7 @@ class MHCAStage(nn.Module):
     mlp_ratio: int = 3
     num_path: int = 4
     concat: str = "coord"
+    drop_path_rates: tuple = ()
     use_sa: bool = True
     sa_ker: int = 7
     inter: str = "res"
@@ -61,8 +76,9 @@ class MHCAStage(nn.Module):
                 MHCAEncoder(self.embed_dim, num_layers=self.num_layers,
                             num_heads=self.num_heads,
                             mlp_ratio=self.mlp_ratio,
+                            drop_path_rates=self.drop_path_rates,
                             use_pallas=self.use_pallas, dtype=self.dtype,
-                            name=f"mhca_blks_{i}")(x))
+                            name=f"mhca_blks_{i}")(x, deterministic=not train))
 
         mode = self.concat
         if self.casa:
@@ -148,6 +164,8 @@ class MSViT(nn.Module):
         outs.append(m)
 
         # Stages 2-4.
+        dpr = dpr_schedule(getattr(cfg, "drop_path_rate", 0.0),
+                           cfg.num_layers)
         for s in range(3):
             paths = PatchEmbedStage(dims[s], num_path=cfg.num_path[s],
                                     is_pool=True, dtype=dt,
@@ -159,6 +177,7 @@ class MSViT(nn.Module):
                 dims[s], dims[s + 1], num_layers=cfg.num_layers[s],
                 num_heads=cfg.num_heads[s], mlp_ratio=cfg.mlp_ratio,
                 num_path=cfg.num_path[s], concat=cfg.concat,
+                drop_path_rates=dpr[s],
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
                 sa_ker=cfg.sa_ker, use_pallas=cfg.use_pallas, dtype=dt,
                 name=f"mhca_stage{s + 2}")(paths, train)
@@ -189,6 +208,7 @@ class MSViT4Stages(nn.Module):
         outs = []
         in_dims = (dims[0], dims[0], dims[1], dims[2])
         out_dims = (dims[0], dims[1], dims[2], dims[3])
+        dpr = dpr_schedule(getattr(cfg, "drop_path_rate", 0.0), num_layers)
         for s in range(4):
             paths = PatchEmbedStage(in_dims[s], num_path=num_path[s],
                                     is_pool=(s > 0), dtype=dt,
@@ -197,6 +217,7 @@ class MSViT4Stages(nn.Module):
                 in_dims[s], out_dims[s], num_layers=num_layers[s],
                 num_heads=num_heads[s], mlp_ratio=cfg.mlp_ratio,
                 num_path=num_path[s], concat=cfg.concat,
+                drop_path_rates=dpr[s],
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
                 sa_ker=cfg.sa_ker, use_pallas=cfg.use_pallas, dtype=dt,
                 name=f"mhca_stage{s + 1}")(paths, train)

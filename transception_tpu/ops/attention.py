@@ -73,6 +73,18 @@ def factorized_attention(q, k, v, scale: float, *, use_pallas: bool = False):
     return (scale * out).astype(dt)
 
 
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Stochastic depth on the residual branch (the reference's
+    dpr_generator schedule, MSTr.py:1112-1124, runs at rate 0.0; this makes
+    the knob real). Per-sample Bernoulli keep with 1/keep rescale."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / keep
+
+
 def split_heads(x, num_heads: int):
     """(B, N, C) -> (B, h, N, C/h)."""
     B, N, C = x.shape
@@ -207,19 +219,25 @@ class MHCABlock(nn.Module):
     dim: int
     num_heads: int = 8
     mlp_ratio: int = 3
+    drop_path_rate: float = 0.0
     use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, H: int, W: int, cpe, crpe):
+    def __call__(self, x, H: int, W: int, cpe, crpe,
+                 deterministic: bool = True):
+        dp = lambda b: drop_path(  # noqa: E731
+            b, self.drop_path_rate, deterministic,
+            self.make_rng("dropout") if (not deterministic
+                                         and self.drop_path_rate > 0) else None)
         x = cpe(x, H, W)
         cur = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + FactorAttConvRelPosEnc(
+        x = x + dp(FactorAttConvRelPosEnc(
             self.dim, num_heads=self.num_heads, use_pallas=self.use_pallas,
-            dtype=self.dtype, name="factoratt_crpe")(cur, H, W, crpe)
+            dtype=self.dtype, name="factoratt_crpe")(cur, H, W, crpe))
         cur = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        x = x + make_ffn("mix_skip", self.dim, self.dim * self.mlp_ratio,
-                         self.dtype, "mlp")(cur, H, W)
+        x = x + dp(make_ffn("mix_skip", self.dim, self.dim * self.mlp_ratio,
+                            self.dtype, "mlp")(cur, H, W))
         return x
 
 
@@ -233,6 +251,7 @@ class MHCAEncoder(nn.Module):
     num_heads: int = 8
     mlp_ratio: int = 3
     crpe_window: tuple = ((3, 2), (5, 3), (7, 3))
+    drop_path_rates: tuple = ()
     use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -241,16 +260,19 @@ class MHCAEncoder(nn.Module):
         self.cpe = ConvPosEnc(self.dim, k=3, dtype=self.dtype)
         self.crpe = ConvRelPosEnc(self.dim // self.num_heads, self.num_heads,
                                   window=self.crpe_window, dtype=self.dtype)
+        rates = self.drop_path_rates or (0.0,) * self.num_layers
         self.layers = [
             MHCABlock(self.dim, num_heads=self.num_heads,
-                      mlp_ratio=self.mlp_ratio, use_pallas=self.use_pallas,
+                      mlp_ratio=self.mlp_ratio, drop_path_rate=rates[i],
+                      use_pallas=self.use_pallas,
                       dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.num_layers)
         ]
 
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         B, H, W, C = x.shape
         t = x.reshape(B, H * W, C)
         for layer in self.layers:
-            t = layer(t, H, W, self.cpe, self.crpe)
+            t = layer(t, H, W, self.cpe, self.crpe,
+                      deterministic=deterministic)
         return t.reshape(B, H, W, C)

@@ -57,6 +57,24 @@ def make_train_step(model, num_classes: int, ce_w: float, dice_w: float):
     return train_step
 
 
+def _log_images(writer, model, state, images, labels, it):
+    """TB image triplets every N iters (trainer.py:167-174 equivalent):
+    normalized input, argmax prediction x50, label x50 for sample 0."""
+    import numpy as np
+    img = np.asarray(images[0, :, :, 0], np.float32)
+    rng = img.max() - img.min()
+    img = (img - img.min()) / (rng if rng > 0 else 1.0)
+    pred = np.asarray(jax.jit(
+        lambda v, x: jnp.argmax(model.apply(v, x, train=False), -1))(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        images[:1]))[0]
+    writer.add_image("train/Image", img[None], it)
+    writer.add_image("train/Prediction",
+                     (pred * 50).astype(np.uint8)[None], it)
+    writer.add_image("train/GroundTruth",
+                     (np.asarray(labels[0]) * 50).astype(np.uint8)[None], it)
+
+
 class Trainer:
     """End-to-end Synapse trainer (the trainer_synapse equivalent)."""
 
@@ -182,6 +200,12 @@ class Trainer:
                     writer.add_scalar("info/lr", lr, it)
                     for k, v in metrics.items():
                         writer.add_scalar(f"info/{k}", float(v), it)
+                if writer is not None and it % 200 == 0:
+                    try:
+                        _log_images(writer, self.model, state, images,
+                                    labels, it)
+                    except Exception:  # pragma: no cover
+                        pass
                 if it % 50 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     logger.info(
