@@ -1,0 +1,56 @@
+"""Slice-batched volume inference path (tiny model, synthetic volume)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import tiny_config
+from transception_tpu.data.synapse import SyntheticVolumeDataset
+from transception_tpu.eval.inference import (
+    make_predictor,
+    run_inference,
+    test_single_volume,
+)
+from transception_tpu.models.transception import MSTransception
+
+
+def _model_and_vars(cfg):
+    model = MSTransception(cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 1), jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    return model, v
+
+
+def test_predictor_handles_padding_and_dtype():
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    predict = make_predictor(model, v, cfg.img_size, batch=4)
+    out = predict(np.random.default_rng(0).random((6, 32, 32)).astype(np.float32))
+    assert out.shape == (6, 32, 32)
+    assert out.dtype == np.uint8
+    assert out.max() < cfg.num_classes
+
+
+def test_single_volume_protocol():
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    predict = make_predictor(model, v, cfg.img_size, batch=4)
+    rng = np.random.default_rng(1)
+    image = rng.random((5, 48, 48)).astype(np.float32)
+    label = rng.integers(0, cfg.num_classes, (5, 48, 48)).astype(np.float32)
+    metrics = test_single_volume(image, label, predict, cfg.num_classes,
+                                 patch_size=cfg.img_size)
+    assert len(metrics) == cfg.num_classes - 1
+    for d, h in metrics:
+        assert 0.0 <= d <= 1.0 and h >= 0.0
+
+
+def test_run_inference_over_dataset():
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    ds = SyntheticVolumeDataset(length=2, hw=48, num_classes=cfg.num_classes)
+    dice, hd95 = run_inference(model, v, ds, cfg.num_classes,
+                               patch_size=cfg.img_size, batch=4, log=None)
+    assert 0.0 <= dice <= 1.0
+    assert hd95 >= 0.0

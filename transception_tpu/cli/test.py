@@ -82,9 +82,15 @@ def main(argv=None):
     variables = load_weights(args.weight_pth, model, variables)
 
     test_ds = make_test_dataset(data_cfg)
-    mean_dice, mean_hd95 = run_inference(
-        model, variables, test_ds, data_cfg.num_classes,
-        patch_size=args.img_size, batch=args.eval_batch, log=logging.info)
+    if data_cfg.dataset == "isic":
+        from transception_tpu.data.isic import dice_eval
+        mean_dice = dice_eval(model, variables, test_ds, args.img_size,
+                              batch=args.eval_batch, log=logging.info)
+        mean_hd95 = 0.0
+    else:
+        mean_dice, mean_hd95 = run_inference(
+            model, variables, test_ds, data_cfg.num_classes,
+            patch_size=args.img_size, batch=args.eval_batch, log=logging.info)
 
     if args.is_savenii:
         save_dir = os.path.join(args.output_dir, "predictions")
