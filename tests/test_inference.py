@@ -6,10 +6,9 @@ import numpy as np
 
 from conftest import tiny_config
 from transception_tpu.data.synapse import SyntheticVolumeDataset
+from transception_tpu.eval.inference import make_predictor, run_inference
 from transception_tpu.eval.inference import (
-    make_predictor,
-    run_inference,
-    test_single_volume,
+    test_single_volume as eval_single_volume,  # alias: not a pytest test
 )
 from transception_tpu.models.transception import MSTransception
 
@@ -39,7 +38,7 @@ def test_single_volume_protocol():
     rng = np.random.default_rng(1)
     image = rng.random((5, 48, 48)).astype(np.float32)
     label = rng.integers(0, cfg.num_classes, (5, 48, 48)).astype(np.float32)
-    metrics = test_single_volume(image, label, predict, cfg.num_classes,
+    metrics = eval_single_volume(image, label, predict, cfg.num_classes,
                                  patch_size=cfg.img_size)
     assert len(metrics) == cfg.num_classes - 1
     for d, h in metrics:
