@@ -109,12 +109,22 @@ def run_inference(model, variables, volume_dataset, classes: int,
                   patch_size: int = 224, batch: int = 32,
                   log: Optional[Callable[[str], None]] = print):
     """Loop test volumes, accumulate the per-case metric matrix, log
-    per-class means (trainer.py:25-47 / test.py:104-123)."""
+    per-class means (trainer.py:25-47 / test.py:104-123).
+
+    The next volume's load+resize is prefetched on a host thread while the
+    TPU runs the current one."""
     predict = make_predictor(model, variables, patch_size, batch)
     metric_sum = np.zeros((classes - 1, 2), np.float64)
     n = len(volume_dataset)
+
+    def load(i):
+        return volume_dataset.get(i)
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    next_fut = pool.submit(load, 0) if n else None
     for i in range(n):
-        sample = volume_dataset.get(i)
+        sample = next_fut.result()
+        next_fut = pool.submit(load, i + 1) if i + 1 < n else None
         m = np.asarray(test_single_volume(sample["image"], sample["label"],
                                           predict, classes, patch_size))
         metric_sum += m
