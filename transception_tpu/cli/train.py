@@ -28,6 +28,9 @@ def main(argv=None):
     add_model_args(p)
     add_data_args(p)
     add_train_args(p)
+    p.add_argument("--throughput", action="store_true",
+                   help="measure train-step imgs/sec and exit (the "
+                        "reference parsed-but-dead flag, made real)")
     args = p.parse_args(argv)
 
     import jax
@@ -36,6 +39,32 @@ def main(argv=None):
 
     model_cfg, data_cfg, train_cfg = build_configs(args)
     model = create_model(args.model, model_cfg)
+
+    if args.throughput:
+        import time
+        import jax.numpy as jnp
+        from transception_tpu.train.state import create_train_state
+        from transception_tpu.train.trainer import make_train_step
+        b = train_cfg.batch_size
+        x = jnp.zeros((b, args.img_size, args.img_size, 1), jnp.float32)
+        y = jnp.zeros((b, args.img_size, args.img_size), jnp.int32)
+        state = create_train_state(model, train_cfg, 100, x,
+                                   jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, model_cfg.num_classes,
+                                       train_cfg.ce_weight,
+                                       train_cfg.dice_weight),
+                       donate_argnums=(0,))
+        state, m = step(state, x, y, jax.random.PRNGKey(1))
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            state, m = step(state, x, y, jax.random.PRNGKey(1))
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / 20
+        print(f"train throughput: {b / dt:.1f} imgs/s "
+              f"({dt * 1000:.1f} ms/step at batch {b})")
+        return None, None
+
     trainer = Trainer(model_cfg, train_cfg, data_cfg, model=model)
 
     if args.profile:
