@@ -45,6 +45,18 @@ def test_single_volume_protocol():
         assert 0.0 <= d <= 1.0 and h >= 0.0
 
 
+def test_device_predictor_serving_path():
+    from transception_tpu.eval.inference import make_device_predictor
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    predict = make_device_predictor(model, v, cfg.img_size, batch=4)
+    vol = np.random.default_rng(0).random((5, 48, 48)).astype(np.float32)
+    out = predict(vol)
+    assert out.shape == (5, 48, 48)
+    assert out.dtype == np.uint8
+    assert out.max() < cfg.num_classes
+
+
 def test_run_inference_over_dataset():
     cfg = tiny_config()
     model, v = _model_and_vars(cfg)

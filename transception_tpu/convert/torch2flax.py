@@ -23,6 +23,9 @@ import numpy as np
 # flax list-module name -> torch ModuleList name.
 _LIST_RENAMES = {
     "block1": "block1",
+    "block2": "block2",
+    "block3": "block3",
+    "block4": "block4",
     "mhca_blks": "mhca_blks",
     "layers": "MHCA_layers",
     "patch_embeds": "patch_embeds",

@@ -90,6 +90,35 @@ def make_predictor(model, variables, patch_size: int, batch: int = 32):
     return predict
 
 
+def make_device_predictor(model, variables, patch_size: int,
+                          batch: int = 32):
+    """Serving-path predictor: resize + normalize + forward + argmax +
+    back-resize all on device (jax.image cubic/nearest — fast, but not
+    bit-identical to the scipy spline protocol; use make_predictor +
+    _resize_slices_scipy for published-number parity)."""
+
+    @jax.jit
+    def fwd(x):  # x: (b, H, W) raw volume slices
+        t = jax.image.resize(x, (x.shape[0], patch_size, patch_size),
+                             method="cubic")
+        t = ((t - 0.5) / 0.5)[..., None]
+        logits = model.apply(variables, t, train=False)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        back = jax.image.resize(pred, x.shape, method="nearest")
+        return back
+
+    def predict(vol: np.ndarray) -> np.ndarray:
+        d = vol.shape[0]
+        n_chunks = math.ceil(d / batch)
+        pad = n_chunks * batch - d
+        x = np.pad(vol, ((0, pad), (0, 0), (0, 0)))
+        outs = [fwd(jnp.asarray(x[c * batch:(c + 1) * batch]))
+                for c in range(n_chunks)]
+        return np.concatenate([np.asarray(o) for o in outs])[:d]
+
+    return predict
+
+
 def test_single_volume(image: np.ndarray, label: np.ndarray, predict,
                        classes: int, patch_size: int = 224
                        ) -> List[Tuple[float, float]]:
