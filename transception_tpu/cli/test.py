@@ -54,10 +54,7 @@ def main(argv=None):
     p.add_argument("--is_savenii", action="store_true",
                    help="save prediction volumes (.npz) next to the log")
     p.add_argument("--eval_batch", type=int, default=32)
-    p.add_argument("--dtype", dest="dtype_override", type=str, default=None)
     args = p.parse_args(argv)
-    if args.dtype_override:
-        args.dtype = args.dtype_override
 
     import jax
     import jax.numpy as jnp
