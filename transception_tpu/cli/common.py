@@ -42,6 +42,9 @@ def add_model_args(p: argparse.ArgumentParser):
                    help="rematerialize encoder stages (gradient checkpointing)")
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--drop_path_rate", type=float, default=0.0)
+    p.add_argument("--no_vectorize_paths", action="store_true",
+                   help="sequential per-path encoders (reference-mirroring "
+                        "param layout; slower)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax NaN checking (slow; debugging only)")
 
@@ -106,6 +109,7 @@ def build_configs(args):
         remat=getattr(args, "remat", False),
         use_pallas=not getattr(args, "no_pallas", False),
         drop_path_rate=getattr(args, "drop_path_rate", 0.0),
+        vectorize_paths=not getattr(args, "no_vectorize_paths", False),
     ).validate()
     if getattr(args, "debug_nans", False):
         import jax

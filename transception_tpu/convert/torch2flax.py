@@ -182,6 +182,21 @@ def convert_state_dict(state_dict: Dict[str, Any], variables: Dict
     def fill(collection):
         def one(kp, leaf):
             p = path_str(kp)
+            if "mhca_blks_stacked" in p:
+                # vectorize_paths layout: leading path axis stacks the
+                # per-path torch modules mhca_blks.{i}.
+                leaf_np = np.asarray(leaf)
+                num_p = leaf_np.shape[0]
+                parts = []
+                for i in range(num_p):
+                    sub = p.replace("mhca_blks_stacked", f"mhca_blks_{i}")
+                    key = flax_path_to_torch_key(sub)
+                    if key not in sd:
+                        missing.append(f"{p} -> {key}")
+                        return leaf_np
+                    used.add(key)
+                    parts.append(_to_flax_tensor(sd[key], leaf_np[i], sub))
+                return np.stack(parts)
             key = flax_path_to_torch_key(p)
             for cand in _candidate_keys(key):
                 if cand in sd:

@@ -102,6 +102,12 @@ class TransceptionConfig:
     remat: bool = False
     # Use fused Pallas kernels for linear attention where shapes allow.
     use_pallas: bool = True
+    # Execute the num_path MHCA encoders of each stage as one vmapped
+    # (path-stacked-params) call instead of sequentially — same math,
+    # measured +14% inference / +81% training on v5e. Changes the param
+    # tree layout (mhca_blks_stacked vs mhca_blks_{i}); the .pth converter
+    # handles both. Set False for the reference-mirroring layout.
+    vectorize_paths: bool = True
     drop_rate: float = 0.1  # MLP_FFN dropout (MSTr.py:69)
     # Stochastic depth; the reference's dpr_generator runs at 0.0
     # (MSTr.py:1592) — here the knob is functional.

