@@ -94,6 +94,9 @@ class TransceptionConfig:
     bridge_dim: int = 64
     bridge_heads: int = 1
     reduction_ratios: Tuple[int, int, int, int] = (1, 2, 4, 8)
+    # Sequence parallelism for the bridge: shard the fused token sequence
+    # on this mesh axis (requires an installed mesh; '' disables).
+    bridge_seq_shard_axis: str = ""
 
     # TPU dtype policy: compute dtype for matmuls/convs; params and
     # norm/softmax accumulators stay fp32.

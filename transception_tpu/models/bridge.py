@@ -172,12 +172,19 @@ class MEfficientChannelAtten(nn.Module):
 
 class BridgeLayer4(nn.Module):
     """One bridge layer (MSTr.py:2356-2409): fuse -> LN -> attn -> res ->
-    LN -> per-scale MixFFN_skip at native dims -> res."""
+    LN -> per-scale MixFFN_skip at native dims -> res.
+
+    With seq_shard_axis set (and a mesh installed), the fused token
+    sequence is annotated sharded on that axis — GSPMD partitions the
+    attention rows / FFNs across it and inserts the collectives
+    (sequence parallelism for the bridge; at the reference's 6076-token
+    scale this is headroom, not a necessity)."""
 
     geo: BridgeGeometry
     head: int
     ch_att: bool
     reduction_ratio: Tuple[int, ...] = (1, 2, 4, 8)
+    seq_shard_axis: str = ""
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -185,6 +192,10 @@ class BridgeLayer4(nn.Module):
         geo = self.geo
         if isinstance(inputs, (list, tuple)):
             inputs = fuse_scales(inputs, geo.c)
+        if self.seq_shard_axis:
+            from jax.sharding import PartitionSpec as P
+            inputs = jax.lax.with_sharding_constraint(
+                inputs, P(None, self.seq_shard_axis, None))
         B, N, C = inputs.shape
         h = LayerNorm(dtype=self.dtype, name="norm1")(inputs)
         if self.ch_att:
@@ -217,6 +228,7 @@ class BridgeBlock4(nn.Module):
     head: int
     br_ch_att_list: Tuple[bool, bool, bool, bool]
     reduction_ratio: Tuple[int, ...] = (1, 2, 4, 8)
+    seq_shard_axis: str = ""
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -224,7 +236,9 @@ class BridgeBlock4(nn.Module):
         x = maps
         for i, ch_att in enumerate(self.br_ch_att_list):
             x = BridgeLayer4(self.geo, self.head, ch_att,
-                             self.reduction_ratio, dtype=self.dtype,
+                             self.reduction_ratio,
+                             seq_shard_axis=self.seq_shard_axis,
+                             dtype=self.dtype,
                              name=f"bridge_layer{i + 1}")(x)
         return split_scales(x, self.geo)
 

@@ -59,8 +59,9 @@ class MSTransception(nn.Module):
                                       name="bridge")(enc)
             else:  # 'original' and any other value (MSTr.py:2802-2809)
                 enc = BridgeBlock4(geo, cfg.bridge_heads, cfg.br_ch_att_list,
-                                   cfg.reduction_ratios, dtype=dt,
-                                   name="bridge")(enc)
+                                   cfg.reduction_ratios,
+                                   seq_shard_axis=cfg.bridge_seq_shard_axis,
+                                   dtype=dt, name="bridge")(enc)
 
         # ---- Decoder ----
         # in_out_chan (MSTr.py:2814): [dim, out_dim, key_dim, value_dim].
