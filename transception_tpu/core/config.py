@@ -10,7 +10,7 @@ matching the published recipe (README.md:61, networks/MSTr.py:2759-2761).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

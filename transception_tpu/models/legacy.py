@@ -18,7 +18,7 @@ All NHWC, same dtype policy as the flagship model.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ Dead reference params (conv1_1_s1..s4, the unused stage-1 cpe) are omitted.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -7,8 +7,6 @@ fp32 logits. Grayscale inputs are repeated to 3 channels (MSTr.py:2828-2829).
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 from flax import linen as nn
 

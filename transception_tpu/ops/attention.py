@@ -15,7 +15,7 @@ two chained contractions are MXU matmuls. An optional fused Pallas kernel
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

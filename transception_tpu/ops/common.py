@@ -8,7 +8,7 @@ and fp32 LayerNorm, and use jnp reshapes instead of einops-on-torch.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

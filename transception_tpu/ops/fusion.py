@@ -13,13 +13,13 @@ All maps are NHWC; the 'path' axis of the 3D variants is kept explicit.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from transception_tpu.ops.common import LayerNorm, gelu, xavier
+from transception_tpu.ops.common import gelu, xavier
 from transception_tpu.ops.conv import BatchNorm
 
 Dtype = Any

@@ -9,7 +9,7 @@ branch outputs maxpooled, token-flattened, concatenated, and LayerNormed.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ predictors (eval/inference.py) is the production path.
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ from transception_tpu.train.state import (
     TrainState,
     create_train_state,
     make_lr_schedule,
-    make_optimizer,
 )
 
 logger = logging.getLogger("transception_tpu")
