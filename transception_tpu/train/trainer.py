@@ -153,6 +153,12 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         sample = jnp.zeros((cfg.batch_size, self.data_cfg.img_size,
                             self.data_cfg.img_size, 1), jnp.float32)
+        with jax.set_mesh(self.mesh):
+            return self._train_loop(cfg, loader, test_ds, steps_per_epoch,
+                                    rng, sample, max_steps)
+
+    def _train_loop(self, cfg, loader, test_ds, steps_per_epoch, rng,
+                    sample, max_steps):
         state = create_train_state(self.model, cfg, steps_per_epoch,
                                    sample, rng)
         # Shard: params via TP rules (replicated by default), batch on data.
@@ -188,9 +194,19 @@ class Trainer:
         done = False
         for epoch in range(start_epoch, cfg.max_epochs):
             loader.set_epoch(epoch)
+            multihost = jax.process_count() > 1
             for batch in loader:
-                images = jax.device_put(batch["image"], data_shard)
-                labels = jax.device_put(batch["label"], data_shard)
+                if multihost:
+                    # Each host holds its shard of the global batch.
+                    gb = (cfg.batch_size,) + batch["image"].shape[1:]
+                    images = jax.make_array_from_process_local_data(
+                        data_shard, batch["image"], gb)
+                    labels = jax.make_array_from_process_local_data(
+                        data_shard, batch["label"],
+                        (cfg.batch_size,) + batch["label"].shape[1:])
+                else:
+                    images = jax.device_put(batch["image"], data_shard)
+                    labels = jax.device_put(batch["label"], data_shard)
                 rng, drop = jax.random.split(rng)
                 state, metrics = step_fn(state, images, labels, drop)
                 it += 1
