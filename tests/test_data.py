@@ -90,6 +90,20 @@ def test_random_generator_augment_runs():
     assert ai.shape == (32, 32)
 
 
+def test_loader_early_break_shuts_down_cleanly():
+    """Breaking mid-epoch must not leave producer threads alive."""
+    import threading
+    ds = SyntheticSliceDataset(length=64, img_size=32)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(HostDataLoader(ds, 8, num_workers=2, prefetch=1))
+        next(it)
+        it.close()
+    import time
+    time.sleep(1.0)
+    assert threading.active_count() <= before + 2
+
+
 def test_synthetic_volume():
     ds = SyntheticVolumeDataset(length=2, hw=64)
     v = ds.get(0)

@@ -71,6 +71,18 @@ class HostDataLoader:
                 (self.seed * 1_000_003 + self.epoch * 131 + global_idx) & 0x7FFFFFFF)
             return self.dataset.get(int(within), rng)
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that aborts when the consumer went away —
+            otherwise an early break (e.g. max_steps mid-epoch) would leave
+            the producer blocked on a full queue forever."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in range(n_batches):
@@ -89,9 +101,10 @@ class HostDataLoader:
                         "label": np.stack([it["label"] for it in items]),
                         "case_name": [it["case_name"] for it in items],
                     }
-                    out_q.put(batch)
+                    if not put_or_stop(batch):
+                        return
             finally:
-                out_q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
