@@ -95,6 +95,34 @@ def test_full_model_parity_bridge_none_gray_input():
 
 
 @pytest.mark.slow
+def test_full_model_parity_4stage_backbone():
+    """Stage_3or4=4: conv stem + all-4-stage MHCA (MSTr.py:1746-1988)."""
+    import torch
+    torch.manual_seed(3)
+    ref = mstr.MSTransception(num_classes=9, Stage_3or4=4)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    from transception_tpu.core.config import TransceptionConfig
+    cfg = TransceptionConfig(dtype="float32", use_pallas=False,
+                             stage_3or4=4)
+    _convert_and_compare(ref, cfg, x, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_full_model_parity_para_bridge():
+    """have_bridge='para' (MSTr.py:2500-2538)."""
+    import torch
+    torch.manual_seed(4)
+    ref = mstr.MSTransception(num_classes=9, have_bridge="para")
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    from transception_tpu.core.config import TransceptionConfig
+    cfg = TransceptionConfig(dtype="float32", use_pallas=False,
+                             have_bridge="para")
+    _convert_and_compare(ref, cfg, x, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_full_model_parity_spatial_bridge_config0():
     """br_config 0: all-spatial bridge attention exercises Scale_reduce."""
     import torch

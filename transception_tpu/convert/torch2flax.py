@@ -109,15 +109,15 @@ def flax_path_to_torch_key(path: str, context: str = "mstransception") -> str:
     # CBAM conv/bn (Sequential conv,bn,ReLU — MSTr.py:1175-1180).
     # Disambiguated by the flax module kind at conversion time; see
     # _SEQ_FIXUPS below applied with fallback lookup.
+    full = f"{key}.{_LEAF_RENAMES.get(leaf, leaf)}"
     # Bridge 'para' proj_act (Linear, LN, GELU — MSTr.py:2506-2510).
-    key = key.replace("bridge.proj.", "bridge.proj_act.0.")
-    key = key.replace("bridge.proj_norm.", "bridge.proj_act.1.")
+    full = full.replace("bridge.proj.", "bridge.proj_act.0.")
+    full = full.replace("bridge.proj_norm.", "bridge.proj_act.1.")
     # sp bridge: the shared SpatialAwareTrans lives inside reference
     # bridge_layer1 (MSTr.py:2682).
-    key = key.replace("bridge.bridge_layer1_sp.",
-                      "bridge.bridge_layer1.scale_fuse_att.")
-
-    return f"{key}.{_LEAF_RENAMES.get(leaf, leaf)}"
+    full = full.replace("bridge.bridge_layer1_sp.",
+                        "bridge.bridge_layer1.scale_fuse_att.")
+    return full
 
 
 # Fallback torch keys tried in order when the primary key is absent —
