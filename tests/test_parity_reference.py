@@ -123,6 +123,38 @@ def test_full_model_parity_para_bridge():
 
 
 @pytest.mark.slow
+def test_full_model_parity_casa_backbone():
+    """Stage_3or4=0 -> MSViT_casa with CBAM-casa fusion (MSTr.py:1990-2204);
+    requires concat='cbam' (the casa dispatch has no coord branch)."""
+    import torch
+    torch.manual_seed(6)
+    ref = mstr.MSTransception(num_classes=9, Stage_3or4=0, concat="cbam")
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    from transception_tpu.core.config import TransceptionConfig
+    cfg = TransceptionConfig(dtype="float32", use_pallas=False,
+                             stage_3or4=0, concat="cbam")
+    _convert_and_compare(ref, cfg, x, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_full_model_parity_sp_bridge():
+    """have_bridge='sp' with one SpatialAwareTrans layer (MSTr.py:2668-2757).
+    The reference instantiates scale_fuse_att in every layer but only
+    layer 1 uses it (MSTr.py:2690-2692); unused copies stay unconverted."""
+    import torch
+    torch.manual_seed(5)
+    ref = mstr.MSTransception(num_classes=9, have_bridge="sp", num_sp=1)
+    ref.eval()
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    from transception_tpu.core.config import TransceptionConfig
+    cfg = TransceptionConfig(dtype="float32", use_pallas=False,
+                             have_bridge="sp", num_sp=1)
+    _convert_and_compare(ref, cfg, x, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_full_model_parity_spatial_bridge_config0():
     """br_config 0: all-spatial bridge attention exercises Scale_reduce."""
     import torch

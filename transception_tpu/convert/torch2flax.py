@@ -104,11 +104,8 @@ def flax_path_to_torch_key(path: str, context: str = "mstransception") -> str:
     # Fusion-block Sequential flattening, applied on the joined key.
     key = key.replace("aggregate.fc1", "aggregate.excitation.0")
     key = key.replace("aggregate.fc2", "aggregate.excitation.2")
-    # SK_Block conv/bn (Sequential conv,ReLU,bn — MSTr.py:1067-1072).
-    key = re.sub(r"aggregate\.conv$", "aggregate.conv_bn_ac.0", key)
-    # CBAM conv/bn (Sequential conv,bn,ReLU — MSTr.py:1175-1180).
-    # Disambiguated by the flax module kind at conversion time; see
-    # _SEQ_FIXUPS below applied with fallback lookup.
+    # SK vs CBAM Sequential conv/bn placements are disambiguated at
+    # conversion time via the _candidate_keys fallbacks.
     full = f"{key}.{_LEAF_RENAMES.get(leaf, leaf)}"
     # Bridge 'para' proj_act (Linear, LN, GELU — MSTr.py:2506-2510).
     full = full.replace("bridge.proj.", "bridge.proj_act.0.")
