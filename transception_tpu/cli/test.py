@@ -54,6 +54,9 @@ def main(argv=None):
     p.add_argument("--is_savenii", action="store_true",
                    help="save prediction volumes (.npz) next to the log")
     p.add_argument("--eval_batch", type=int, default=32)
+    # Published-protocol evaluation runs fp32 by default (bf16 flips ~0.8%
+    # of argmax pixels); pass --dtype bfloat16 for max throughput.
+    p.set_defaults(dtype="float32")
     args = p.parse_args(argv)
 
     import jax
