@@ -54,6 +54,38 @@ def test_isic_raw_layout(tmp_path):
     assert item["label"].shape == (64, 64)
 
 
+def test_isic_preprocessed_layout(tmp_path):
+    from transception_tpu.data.isic import ISICPreprocessedDataset
+    rng = np.random.default_rng(0)
+    path = tmp_path / "isic_train.npz"
+    np.savez(path,
+             image=rng.random((3, 96, 96, 3)).astype(np.float32),
+             label=(rng.random((3, 96, 96)) > 0.5).astype(np.float32))
+    ds = ISICPreprocessedDataset(str(path), img_size=64, augment=True)
+    assert len(ds) == 3
+    item = ds.get(1, np.random.default_rng(1))
+    assert item["image"].shape == (64, 64, 3)
+    assert set(np.unique(item["label"])).issubset({0, 1})
+
+
+def test_dataset_factory_isic_positive(tmp_path):
+    from PIL import Image
+    from transception_tpu.core.config import DataConfig
+    from transception_tpu.data.isic import ISICDataset
+    from transception_tpu.data.synapse import make_train_dataset
+    (tmp_path / "images").mkdir()
+    (tmp_path / "masks").mkdir()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+        tmp_path / "images" / "ISIC_0.jpg")
+    Image.fromarray(np.zeros((32, 32), np.uint8)).save(
+        tmp_path / "masks" / "ISIC_0_segmentation.png")
+    cfg = DataConfig(dataset="isic", root_path=str(tmp_path), img_size=32,
+                     num_classes=2)
+    ds = make_train_dataset(cfg)
+    assert isinstance(ds, ISICDataset)
+    assert len(ds) == 1
+
+
 def test_dataset_factory_isic_fallback():
     from transception_tpu.core.config import DataConfig
     from transception_tpu.data.isic import SyntheticISICDataset
