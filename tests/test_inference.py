@@ -31,6 +31,28 @@ def test_predictor_handles_padding_and_dtype():
     assert out.max() < cfg.num_classes
 
 
+def test_fp32_predictor_is_true_fp32_end_to_end():
+    """The published-protocol fp32 path (--dtype float32, reference
+    utils.py:72-76) must ship fp32 inputs — predictions must equal running
+    the model directly on the fp32 arrays, with no bf16 quantization."""
+    cfg = tiny_config()  # dtype float32
+    model, v = _model_and_vars(cfg)
+    predict = make_predictor(model, v, cfg.img_size, batch=4)
+    x = np.random.default_rng(2).random((3, 32, 32)).astype(np.float32)
+    direct = np.asarray(jnp.argmax(
+        model.apply(v, jnp.asarray(x)[..., None], train=False), axis=-1))
+    np.testing.assert_array_equal(predict(x), direct.astype(np.uint8))
+
+
+def test_transfer_dtype_follows_model_dtype():
+    import ml_dtypes
+    from transception_tpu.eval.inference import default_transfer_dtype
+    fp32_model = MSTransception(tiny_config())
+    bf16_model = MSTransception(tiny_config(dtype="bfloat16"))
+    assert default_transfer_dtype(fp32_model) == np.dtype(np.float32)
+    assert default_transfer_dtype(bf16_model) == np.dtype(ml_dtypes.bfloat16)
+
+
 def test_single_volume_protocol():
     cfg = tiny_config()
     model, v = _model_and_vars(cfg)

@@ -62,28 +62,43 @@ def _resize_pred_back(pred: np.ndarray, h: int, w: int) -> np.ndarray:
     return out
 
 
-def make_predictor(model, variables, patch_size: int, batch: int = 32):
+def default_transfer_dtype(model):
+    """H2D transfer dtype for eval inputs, derived from the model's compute
+    dtype: bf16 only when the model computes in bf16, else true fp32."""
+    model_dtype = np.dtype(getattr(getattr(model, "cfg", None), "dtype",
+                                   "float32"))
+    if model_dtype == np.dtype("bfloat16"):
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(np.float32)
+
+
+def make_predictor(model, variables, patch_size: int, batch: int = 32,
+                   transfer_dtype=None):
     """Returns a fn (D, patch, patch) float32 -> (D, patch, patch) uint8
     running the jitted forward in fixed-size chunks.
 
     Host<->device traffic is minimized for tunneled/low-bandwidth links:
-    inputs ship as bf16 (the model computes in bf16 anyway), predictions
-    return as uint8 (class ids < 256), and all chunks dispatch async with
-    one sync at the end."""
+    predictions return as uint8 (class ids < 256) and all chunks dispatch
+    async with one sync at the end. The H2D transfer dtype follows the
+    model's compute dtype — bf16 inputs are a free win only when the model
+    computes in bf16; the published-protocol fp32 path (utils.py:72-76 is
+    fp32 end-to-end) must see true fp32 inputs, or input quantization flips
+    ~0.8% of argmax pixels."""
+    if transfer_dtype is None:
+        transfer_dtype = default_transfer_dtype(model)
 
     @jax.jit
     def fwd(x):
         logits = model.apply(variables, x.astype(jnp.float32), train=False)
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-    import ml_dtypes
-
     def predict(slices: np.ndarray) -> np.ndarray:
         d = slices.shape[0]
         n_chunks = math.ceil(d / batch)
         pad = n_chunks * batch - d
         x = np.pad(slices, ((0, pad), (0, 0), (0, 0)))[..., None]
-        x = x.astype(ml_dtypes.bfloat16)
+        x = x.astype(transfer_dtype)
         outs = [fwd(x[c * batch:(c + 1) * batch]) for c in range(n_chunks)]
         return np.concatenate([np.asarray(o) for o in outs])[:d]
 
