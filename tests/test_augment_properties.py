@@ -1,0 +1,299 @@
+"""Numerical validation of the imgaug-pipeline port (VERDICT r1 weak #6).
+
+imgaug is not installable in this image, so each of the 10 ops is validated
+against analytic/geometric properties it must satisfy (and
+scripts/gen_imgaug_goldens.py can produce cross-library goldens offline;
+tests/golden/imgaug/*.npz are asserted here when present).
+
+Reference pipeline: dataset_synapse.py:84-95.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from transception_tpu.data import augment as A
+
+
+def _disk(h=64, w=64, cy=32, cx=32, r=10):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r).astype(np.float32)
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---- flips: exact, probability 1/2 ----
+
+def test_flips_are_exact_and_half_probability():
+    img = _rng(0).random((16, 16)).astype(np.float32)
+    lbl = (_rng(1).random((16, 16)) > 0.5).astype(np.float32)
+    n_ud = n_lr = 0
+    trials = 400
+    for s in range(trials):
+        iu, lu = A.aug_flipud(img, lbl, _rng(s))
+        il, ll = A.aug_fliplr(img, lbl, _rng(1000 + s))
+        if not np.array_equal(iu, img):
+            np.testing.assert_array_equal(iu, img[::-1])
+            np.testing.assert_array_equal(lu, lbl[::-1])
+            n_ud += 1
+        if not np.array_equal(il, img):
+            np.testing.assert_array_equal(il, img[:, ::-1])
+            np.testing.assert_array_equal(ll, lbl[:, ::-1])
+            n_lr += 1
+    assert 0.4 < n_ud / trials < 0.6
+    assert 0.4 < n_lr / trials < 0.6
+
+
+# ---- photometric ops ----
+
+def test_gaussian_noise_statistics():
+    """AdditiveGaussianNoise(scale=0.005*255): zero-mean, std 1.275."""
+    img = np.zeros((256, 256), np.float32)
+    out, _ = A.aug_gaussian_noise(img, img, _rng(3))
+    d = out - img
+    assert abs(d.mean()) < 0.01 * 255 * 0.005 * 10
+    assert 0.005 * 255 * 0.95 < d.std() < 0.005 * 255 * 1.05
+
+
+def test_gaussian_blur_matches_analytic_kernel():
+    """sigma=1 impulse response == scipy's truncated gaussian kernel, and
+    constant images are preserved (DC gain 1)."""
+    img = np.zeros((33, 33), np.float32)
+    img[16, 16] = 1.0
+    out, _ = A.aug_gaussian_blur(img, img, _rng(0))
+    want = ndimage.gaussian_filter(img, 1.0)
+    np.testing.assert_allclose(out, want, atol=1e-7)
+    const = np.full((17, 17), 0.7, np.float32)
+    outc, _ = A.aug_gaussian_blur(const, const, _rng(0))
+    np.testing.assert_allclose(outc, const, atol=1e-5)
+
+
+def test_linear_contrast_is_exact_affine_about_half():
+    img = _rng(5).random((32, 32)).astype(np.float32)
+    out, _ = A.aug_linear_contrast(img, img, _rng(6))
+    # out = 0.5 + alpha (img - 0.5) for one alpha in [0.5, 1.5]
+    mask = np.abs(img - 0.5) > 1e-3
+    alphas = (out[mask] - 0.5) / (img[mask] - 0.5)
+    assert alphas.std() < 1e-5
+    assert 0.5 <= alphas.mean() <= 1.5
+    # fixed point at 0.5
+    half = np.full((4, 4), 0.5, np.float32)
+    outh, _ = A.aug_linear_contrast(half, half, _rng(7))
+    np.testing.assert_allclose(outh, half, atol=1e-6)
+
+
+def test_linear_contrast_per_channel_rgb():
+    """(H, W, 3): per_channel=0.5 semantics — over many draws, some have
+    distinct per-channel alphas and some share one alpha."""
+    img = np.stack([np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)] * 3,
+                   axis=-1)
+    distinct = shared = 0
+    for s in range(200):
+        out, _ = A.aug_linear_contrast(img, img[..., 0], _rng(s))
+        alphas = [(out[4, 6, c] - 0.5) / (img[4, 6, c] - 0.5)
+                  for c in range(3)]
+        if np.ptp(alphas) > 1e-4:
+            distinct += 1
+        else:
+            shared += 1
+    assert distinct > 40 and shared > 40
+
+
+# ---- geometric ops: image/label consistency + analytic geometry ----
+
+def _com(mask):
+    return np.array(ndimage.center_of_mass(mask))
+
+
+def test_affine_scale_changes_area_consistently():
+    img = _disk()
+    lbl = img.copy()
+    areas = []
+    for s in range(30):
+        rng = _rng(s)
+        rng2 = _rng(s)
+        sx = rng2.uniform(0.5, 2.0)
+        sy = rng2.uniform(0.5, 2.0)
+        oi, ol = A.aug_affine_scale(img, lbl, rng)
+        got = ol.sum() / lbl.sum()
+        want = sx * sy
+        # order-0 label resampling on a disk: area scales within ~12%
+        # (boundary quantization + clipping at the canvas edge)
+        if sx * 10 < 64 / 2 and sy * 10 < 64 / 2:
+            assert abs(got - want) / want < 0.15, (got, want)
+        # image (order-1) and label (order-0) agree on the bulk
+        agree = ((oi > 0.5) == (ol > 0.5)).mean()
+        assert agree > 0.97
+        areas.append(got)
+    assert np.std(areas) > 0.1  # actually random
+
+
+def test_affine_rotate_preserves_centered_disk_and_moves_offset_blob():
+    disk = _disk()
+    out, outl = A.aug_affine_rotate(disk, disk, _rng(0))
+    # a centered disk is rotation-invariant (up to boundary pixels)
+    assert (out > 0.5).sum() == pytest.approx(disk.sum(), rel=0.05)
+    # an offset blob moves along a circle: radius from center preserved
+    blob = _disk(cy=32, cx=50, r=4)
+    for s in range(10):
+        _, ol = A.aug_affine_rotate(blob, blob, _rng(s))
+        if ol.sum() == 0:
+            continue
+        c = _com(ol)
+        r_got = np.hypot(c[0] - 31.5, c[1] - 31.5)
+        r_want = np.hypot(31.5 - 31.5, 50 - 31.5)
+        assert abs(r_got - r_want) < 1.0
+
+
+def test_affine_shear_maps_vertical_line_to_known_slope():
+    """imgaug/skimage x-shear: a vertical line at x=32 lands at
+    x(y) = 32 - tan(sh) * (y - 32) (center-anchored)."""
+    img = np.zeros((65, 65), np.float32)
+    img[:, 32] = 1.0
+    for s in range(5):
+        rng = _rng(s)
+        rng2 = _rng(s)
+        sh = np.deg2rad(rng2.uniform(-16, 16))
+        out, _ = A.aug_affine_shear(img, img, rng)
+        for y in (8, 32, 56):
+            xs = np.nonzero(out[y] > 0.4)[0]
+            if len(xs) == 0:
+                continue
+            want = 32 - np.tan(sh) * (y - 32)
+            assert abs(xs.mean() - want) < 1.5, (y, xs.mean(), want)
+
+
+def test_affine_translate_moves_com_by_fraction():
+    blob = _disk(r=5)
+    for s in range(10):
+        rng = _rng(s)
+        rng2 = _rng(s)
+        ty = rng2.uniform(-0.2, 0.2) * 64
+        tx = rng2.uniform(-0.2, 0.2) * 64
+        _, ol = A.aug_affine_translate(blob, blob, rng)
+        c = _com(ol)
+        c0 = _com(blob)
+        assert abs((c[0] - c0[0]) - ty) < 1.0
+        assert abs((c[1] - c0[1]) - tx) < 1.0
+
+
+def test_piecewise_affine_displacement_statistics():
+    """Displacement magnitude must scale with the drawn scale parameter and
+    stay within imgaug's PiecewiseAffine(0.008-0.03) regime; labels keep
+    their value set."""
+    img = np.tile(np.linspace(0, 1, 64, dtype=np.float32), (64, 1))
+    lbl = (np.arange(64 * 64).reshape(64, 64) % 5).astype(np.float32)
+    for s in range(5):
+        rng = _rng(s)
+        rng2 = _rng(s)
+        scale = rng2.uniform(0.008, 0.03)
+        oi, ol = A.aug_piecewise_affine(img, lbl, rng)
+        assert set(np.unique(ol)).issubset(set(np.unique(lbl)))
+        # gradient image: measured displacement ≈ (out - in) / slope
+        slope = 1.0 / 63
+        interior = (slice(8, -8), slice(8, -8))
+        disp = (oi[interior] - img[interior]) / slope
+        # sigma of the coarse field is scale*64; bicubic upsampling keeps
+        # the same order of magnitude
+        assert 0.1 * scale * 64 < np.abs(disp).std() < 3.0 * scale * 64
+
+
+# ---- pipeline-level properties ----
+
+def test_augment_slice_deterministic_and_bounded():
+    img = _rng(0).random((48, 48)).astype(np.float32)
+    lbl = _rng(1).integers(0, 9, (48, 48)).astype(np.float32)
+    a1 = A.augment_slice(img, lbl, _rng(42))
+    a2 = A.augment_slice(img, lbl, _rng(42))
+    np.testing.assert_array_equal(a1[0], a2[0])
+    np.testing.assert_array_equal(a1[1], a2[1])
+    for s in range(40):
+        oi, ol = A.augment_slice(img, lbl, _rng(s))
+        assert np.isfinite(oi).all()
+        assert set(np.unique(ol)).issubset(set(np.unique(lbl)) | {0.0})
+        assert oi.shape == img.shape and ol.shape == lbl.shape
+
+
+def test_augment_slice_identity_fraction():
+    """SomeOf((0,4)) picks k=0 with p=1/5 — ~20% of outputs are identical
+    to the input."""
+    img = _rng(0).random((32, 32)).astype(np.float32)
+    lbl = np.zeros((32, 32), np.float32)
+    same = sum(
+        np.array_equal(A.augment_slice(img, lbl, _rng(s))[0], img)
+        for s in range(400))
+    assert 0.12 < same / 400 < 0.30
+
+
+def test_geometric_ops_rgb_share_one_transform():
+    """(H, W, 3): every geometric op must apply the identical spatial
+    transform to all channels — channels that start as scalar multiples of
+    each other must stay exact multiples (linear interpolation commutes
+    with scaling)."""
+    base = _disk()
+    img = np.stack([base, base * 0.5, base * 0.25], axis=-1)
+    geo_ops = (A.aug_flipud, A.aug_fliplr, A.aug_affine_scale,
+               A.aug_affine_rotate, A.aug_affine_shear,
+               A.aug_affine_translate, A.aug_piecewise_affine)
+    for s in range(5):
+        for fn in geo_ops:
+            oi, ol = fn(img, base, _rng(s))
+            assert oi.shape == img.shape
+            np.testing.assert_allclose(oi[..., 1], oi[..., 0] * 0.5,
+                                       atol=1e-5)
+            np.testing.assert_allclose(oi[..., 2], oi[..., 0] * 0.25,
+                                       atol=1e-5)
+            assert ol.shape == base.shape  # label stays 2-D
+
+
+# ---- optional cross-library goldens (generated offline with imgaug) ----
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden", "imgaug")
+
+
+@pytest.mark.skipif(not glob.glob(os.path.join(GOLDEN_DIR, "*.npz")),
+                    reason="no imgaug goldens generated "
+                           "(scripts/gen_imgaug_goldens.py needs imgaug)")
+def test_imgaug_goldens():
+    for path in sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.npz"))):
+        data = np.load(path, allow_pickle=True)
+        op = str(data["op"])
+        fn = getattr(A, op)
+        kwargs = data["kwargs"].item() if "kwargs" in data else {}
+        out_img, out_lbl = fn(data["img"], data["lbl"],
+                              _FixedRng(data["draws"]), **kwargs)
+        np.testing.assert_allclose(out_img, data["out_img"],
+                                   atol=float(data["atol"]))
+        np.testing.assert_array_equal(out_lbl, data["out_lbl"])
+
+
+class _FixedRng:
+    """Replays the random draws recorded at golden-generation time."""
+
+    def __init__(self, draws):
+        self._draws = list(np.atleast_1d(draws))
+
+    def _pop(self):
+        return float(self._draws.pop(0))
+
+    def random(self):
+        return self._pop()
+
+    def uniform(self, lo, hi, size=None):
+        if size is None:
+            return lo + (hi - lo) * self._pop()
+        n = int(np.prod(size))
+        vals = [lo + (hi - lo) * self._pop() for _ in range(n)]
+        return np.asarray(vals).reshape(size)
+
+    def normal(self, loc, scale, size=None):
+        if size is None:
+            return loc + scale * self._pop()
+        n = int(np.prod(size))
+        vals = [loc + scale * self._pop() for _ in range(n)]
+        return np.asarray(vals).reshape(size)

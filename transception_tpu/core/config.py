@@ -142,6 +142,19 @@ class TransceptionConfig:
         sides = tuple(self.stage1_res // (1 << i) for i in range(4))
         return tuple(s * s * m for s, m in zip(sides, c_mults))
 
+    def decoder_in_chans(self) -> Tuple[int, int, int, int]:
+        """Per-stage decoder 'dims' (in_out_chan[0], MSTr.py:2814-2823),
+        derived from `dims` instead of the reference's hardcoded
+        512/288/144/32: each stage's concat width is (previous out_dim / 2
+        after PatchExpand) + skip dim, and in_out_chan[0] is that width
+        divided by the concat multiplier (2, or 4 at the last stage).
+        Defaults reproduce (512, 288, 144, 32) exactly."""
+        d = self.dims
+        return (d[3],
+                (d[3] // 2 + d[2]) // 2,
+                (d[2] // 2 + d[1]) // 2,
+                (d[1] // 2 + d[0]) // 4)
+
     def validate(self) -> "TransceptionConfig":
         assert self.img_size % 32 == 0, "img_size must be divisible by 32"
         assert self.token_mlp in ("mix", "mix_skip", "mlp")
@@ -185,6 +198,10 @@ class TrainConfig:
     dice_weight: float = 0.6
     seed: int = 1234
     eval_interval: int = 20
+    # 'interval': simple every-N-epochs knobs (ckpt_every/eval_interval).
+    # 'reference': the recipe-exact two-phase cadence of trainer.py:179-226
+    # (every 20 epochs in [max/2, max-100), every eval_interval after).
+    eval_schedule: str = "interval"
     output_dir: str = "./output"
     model_name: str = "transception_tpu"
     # Mesh: data-parallel size (<=0 => all devices); optional model axis.

@@ -24,8 +24,14 @@ from scipy import ndimage
 
 
 def _affine_pair(img, lbl, matrix, offset):
-    out_img = ndimage.affine_transform(img, matrix, offset=offset, order=1,
-                                       mode="constant", cval=0.0)
+    if img.ndim == 3:  # (H, W, C): same spatial transform on every channel
+        out_img = np.stack(
+            [ndimage.affine_transform(img[..., c], matrix, offset=offset,
+                                      order=1, mode="constant", cval=0.0)
+             for c in range(img.shape[-1])], axis=-1)
+    else:
+        out_img = ndimage.affine_transform(img, matrix, offset=offset,
+                                           order=1, mode="constant", cval=0.0)
     out_lbl = ndimage.affine_transform(lbl, matrix, offset=offset, order=0,
                                        mode="constant", cval=0.0)
     return out_img, out_lbl
@@ -33,7 +39,7 @@ def _affine_pair(img, lbl, matrix, offset):
 
 def _centered(matrix, shape):
     """Offset so the transform is about the image center (imgaug style)."""
-    c = (np.asarray(shape) - 1) / 2.0
+    c = (np.asarray(shape[:2]) - 1) / 2.0
     offset = c - matrix @ c
     return matrix, offset
 
@@ -55,12 +61,19 @@ def aug_gaussian_noise(img, lbl, rng, scale=0.005 * 255):
 
 
 def aug_gaussian_blur(img, lbl, rng, sigma=1.0):
+    if img.ndim == 3:  # blur spatially only, never across channels
+        return ndimage.gaussian_filter(img, sigma=(sigma, sigma, 0.0)), lbl
     return ndimage.gaussian_filter(img, sigma=sigma), lbl
 
 
 def aug_linear_contrast(img, lbl, rng, lo=0.5, hi=1.5):
-    alpha = rng.uniform(lo, hi)
     center = 0.5  # float images in [0, 1]
+    if img.ndim == 3 and rng.random() < 0.5:
+        # imgaug per_channel=0.5 semantics: half the time an independent
+        # alpha per channel.
+        alpha = rng.uniform(lo, hi, size=(1, 1, img.shape[-1]))
+    else:
+        alpha = rng.uniform(lo, hi)
     return center + alpha * (img - center), lbl
 
 
@@ -80,8 +93,12 @@ def aug_affine_rotate(img, lbl, rng, deg=40.0):
 
 
 def aug_affine_shear(img, lbl, rng, deg=16.0):
-    s = np.tan(np.deg2rad(rng.uniform(-deg, deg)))
-    m, off = _centered(np.array([[1.0, s], [0.0, 1.0]]), img.shape)
+    """imgaug Affine(shear=deg) = skimage x-shear about the center:
+    forward x' = x - sin(sh)*y, y' = cos(sh)*y. Output->input matrix in
+    (row, col) coords is [[1/cos, 0], [tan, 1]]."""
+    sh = np.deg2rad(rng.uniform(-deg, deg))
+    m = np.array([[1.0 / np.cos(sh), 0.0], [np.tan(sh), 1.0]])
+    m, off = _centered(m, img.shape)
     return _affine_pair(img, lbl, m, off)
 
 
@@ -96,7 +113,7 @@ def aug_piecewise_affine(img, lbl, rng, scale_lo=0.008, scale_hi=0.03,
                          grid=4):
     """Coarse random displacement field, bicubically upsampled, applied via
     map_coordinates — the standard piecewise/elastic approximation."""
-    h, w = img.shape
+    h, w = img.shape[:2]
     scale = rng.uniform(scale_lo, scale_hi)
     dy = rng.normal(0, scale * h, (grid + 2, grid + 2))
     dx = rng.normal(0, scale * w, (grid + 2, grid + 2))
@@ -104,7 +121,14 @@ def aug_piecewise_affine(img, lbl, rng, scale_lo=0.008, scale_hi=0.03,
     dx = ndimage.zoom(dx, (h / dx.shape[0], w / dx.shape[1]), order=3)
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     coords = np.stack([yy + dy[:h, :w], xx + dx[:h, :w]])
-    out_img = ndimage.map_coordinates(img, coords, order=1, mode="constant")
+    if img.ndim == 3:
+        out_img = np.stack(
+            [ndimage.map_coordinates(img[..., c], coords, order=1,
+                                     mode="constant")
+             for c in range(img.shape[-1])], axis=-1)
+    else:
+        out_img = ndimage.map_coordinates(img, coords, order=1,
+                                          mode="constant")
     out_lbl = ndimage.map_coordinates(lbl, coords, order=0, mode="constant")
     return out_img, out_lbl
 
@@ -125,7 +149,11 @@ _PIPELINE: List[Callable] = [
 
 def augment_slice(img: np.ndarray, lbl: np.ndarray,
                   rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
-    """SomeOf((0,4)) of the 10 ops, random order (dataset_synapse.py:84-95)."""
+    """SomeOf((0,4)) of the 10 ops, random order (dataset_synapse.py:84-95).
+
+    img may be (H, W) grayscale or (H, W, C) channels-last RGB; geometric
+    ops share one transform across channels, photometric ops draw
+    per-channel randomness (LinearContrast per_channel=0.5 imgaug-style)."""
     k = rng.integers(0, 5)
     if k == 0:
         return img, lbl

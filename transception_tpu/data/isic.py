@@ -72,17 +72,10 @@ class ISICDataset:
                                        self.img_size / mask.shape[1]),
                                 order=0)
         if self.augment:
-            # Augment per channel with a shared geometric transform: run the
-            # pipeline on the luminance for the label and apply the same ops
-            # channel-wise via a fixed seed.
-            seed = int(rng.integers(0, 2 ** 31 - 1))
-            chans = []
-            for c in range(3):
-                r = np.random.default_rng(seed)
-                ic, mask_c = augment_slice(img[..., c], mask, r)
-                chans.append(ic)
-            img = np.stack(chans, axis=-1)
-            mask = mask_c
+            # One pass on the stacked (H, W, 3) image: geometric ops share
+            # a single transform across channels and the mask; photometric
+            # ops draw independent per-channel randomness inside the ops.
+            img, mask = augment_slice(img, mask, rng)
         return {
             "image": normalize_image(img),  # (H, W, 3)
             "label": np.round(mask).astype(np.int32),
@@ -114,14 +107,7 @@ class ISICPreprocessedDataset:
                                        self.img_size / mask.shape[1]),
                                 order=0)
         if self.augment:
-            seed = int(rng.integers(0, 2 ** 31 - 1))
-            chans = []
-            for c in range(3):
-                r = np.random.default_rng(seed)
-                ic, mask_c = augment_slice(img[..., c], mask, r)
-                chans.append(ic)
-            img = np.stack(chans, axis=-1)
-            mask = mask_c
+            img, mask = augment_slice(img, mask, rng)
         return {
             "image": normalize_image(img),
             "label": np.round(mask).astype(np.int32),

@@ -135,9 +135,13 @@ def make_device_predictor(model, variables, patch_size: int,
 
 
 def test_single_volume(image: np.ndarray, label: np.ndarray, predict,
-                       classes: int, patch_size: int = 224
-                       ) -> List[Tuple[float, float]]:
-    """Volume eval matching utils.py:63-98, slice-batched."""
+                       classes: int, patch_size: int = 224,
+                       spacing=None, return_prediction: bool = False):
+    """Volume eval matching utils.py:63-98, slice-batched.
+
+    spacing: optional (z, 1, 1)-style voxel spacing forwarded to hd95 (the
+    published protocol uses None). return_prediction additionally returns
+    the full-resolution predicted volume (for .nii.gz export)."""
     image = np.asarray(image, np.float32)
     label = np.asarray(label)
     d, h, w = image.shape
@@ -145,15 +149,25 @@ def test_single_volume(image: np.ndarray, label: np.ndarray, predict,
     slices = (slices - 0.5) / 0.5
     pred_patch = predict(slices)
     prediction = _resize_pred_back(pred_patch, h, w)
-    return [metric_per_case(prediction == i, label == i)
-            for i in range(1, classes)]
+    metrics = [metric_per_case(prediction == i, label == i, spacing)
+               for i in range(1, classes)]
+    if return_prediction:
+        return metrics, prediction
+    return metrics
 
 
 def run_inference(model, variables, volume_dataset, classes: int,
                   patch_size: int = 224, batch: int = 32,
-                  log: Optional[Callable[[str], None]] = print):
+                  log: Optional[Callable[[str], None]] = print,
+                  save_path: Optional[str] = None, z_spacing: float = 1.0,
+                  hd95_spacing=None):
     """Loop test volumes, accumulate the per-case metric matrix, log
     per-class means (trainer.py:25-47 / test.py:104-123).
+
+    save_path: when set, writes {case}_img/_pred/_gt.nii.gz per case with
+    spacing (1, 1, z_spacing) like the reference (utils.py:100-109).
+    hd95_spacing: optional (z, 1, 1) voxel spacing for hd95 in mm (the
+    published protocol uses None).
 
     The next volume's load+resize is prefetched on a host thread while the
     TPU runs the current one."""
@@ -169,8 +183,20 @@ def run_inference(model, variables, volume_dataset, classes: int,
     for i in range(n):
         sample = next_fut.result()
         next_fut = pool.submit(load, i + 1) if i + 1 < n else None
-        m = np.asarray(test_single_volume(sample["image"], sample["label"],
-                                          predict, classes, patch_size))
+        m, prediction = test_single_volume(
+            sample["image"], sample["label"], predict, classes, patch_size,
+            spacing=hd95_spacing, return_prediction=True)
+        m = np.asarray(m)
+        if save_path is not None:
+            from transception_tpu.eval.nifti import save_nifti
+            case = sample["case_name"]
+            sp = (1.0, 1.0, float(z_spacing))
+            save_nifti(f"{save_path}/{case}_pred.nii.gz",
+                       np.asarray(prediction, np.float32), sp)
+            save_nifti(f"{save_path}/{case}_img.nii.gz",
+                       np.asarray(sample["image"], np.float32), sp)
+            save_nifti(f"{save_path}/{case}_gt.nii.gz",
+                       np.asarray(sample["label"], np.float32), sp)
         metric_sum += m
         if log:
             log(f"idx {i} case {sample['case_name']} "

@@ -51,14 +51,19 @@ def hd95(pred: np.ndarray, gt: np.ndarray, spacing=None) -> float:
     return float(np.percentile(np.hstack((d1, d2)), 95))
 
 
-def metric_per_case(pred: np.ndarray, gt: np.ndarray) -> Tuple[float, float]:
+def metric_per_case(pred: np.ndarray, gt: np.ndarray,
+                    spacing=None) -> Tuple[float, float]:
     """(dice, hd95) with the reference's empty-mask conventions
     (utils.py:50-60): pred>0 & gt==0 -> (1, 0); both empty/pred empty -> (0,0).
-    """
+
+    spacing: optional per-axis voxel spacing for hd95 in physical units,
+    e.g. (z_spacing, 1, 1) for a (D, H, W) volume. The reference's
+    published protocol calls medpy hd95 with NO spacing (utils.py:54) —
+    pass None for protocol parity."""
     pred = np.asarray(pred) > 0
     gt = np.asarray(gt) > 0
     if pred.sum() > 0 and gt.sum() > 0:
-        return dice_coefficient(pred, gt), hd95(pred, gt)
+        return dice_coefficient(pred, gt), hd95(pred, gt, spacing)
     if pred.sum() > 0 and gt.sum() == 0:
         return 1.0, 0.0
     return 0.0, 0.0

@@ -62,8 +62,11 @@ class DecoderLayer(nn.Module):
             t = FinalPatchExpandX4(self.out_dim, dtype=self.dtype,
                                    name="layer_up")(t, H, W)
             m = t.reshape(B, 4 * H, 4 * W, self.out_dim)
+            # fp32 head (logits policy); flax promotes the bf16 input
+            # inside the conv, so XLA fuses the cast instead of
+            # materializing a 224²·fp32 copy first.
             return nn.Conv(self.n_class, (1, 1), dtype=jnp.float32,
                            param_dtype=jnp.float32, kernel_init=xavier,
-                           name="last_layer")(m.astype(jnp.float32))
+                           name="last_layer")(m)
         return PatchExpand(self.out_dim, dtype=self.dtype,
                            name="layer_up")(t, H, W)

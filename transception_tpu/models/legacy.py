@@ -339,13 +339,14 @@ class Transception(nn.Module):
         t3 = DecoderLayer(d[3], d[3], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, dtype=dt,
                           name="decoder_3")(enc[3].reshape(B, h4 * w4, c4))
-        t2 = DecoderLayer(288, d[2], token_mlp=cfg.token_mlp,
+        ins = cfg.decoder_in_chans()
+        t2 = DecoderLayer(ins[1], d[2], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, dtype=dt,
                           name="decoder_2")(t3, enc[2])
-        t1 = DecoderLayer(144, d[1], token_mlp=cfg.token_mlp,
+        t1 = DecoderLayer(ins[2], d[1], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, dtype=dt,
                           name="decoder_1")(t2, enc[1])
-        return DecoderLayer(32, d[0], token_mlp=cfg.token_mlp,
+        return DecoderLayer(ins[3], d[0], token_mlp=cfg.token_mlp,
                             n_class=cfg.num_classes, is_last=True, dtype=dt,
                             name="decoder_0")(t1, enc[0])
 
@@ -592,7 +593,8 @@ class MISSFormer(nn.Module):
             out = enc
             for i in range(4):
                 out = BridgeLayer4(geo, 1, False, cfg.reduction_ratios,
-                                   dtype=dt, name=f"bridge_layer{i + 1}")(out)
+                                   use_pallas=cfg.use_pallas, dtype=dt,
+                                   name=f"bridge_layer{i + 1}")(out)
             enc = split_scales(out, geo)
         d = cfg.dims
         heads = (1, 2, 5, 8)
@@ -602,14 +604,15 @@ class MISSFormer(nn.Module):
             d[3], d[3], heads[3], dec_ratios[3], token_mlp=cfg.token_mlp,
             n_class=cfg.num_classes, dtype=dt, name="decoder_3")(
             enc[3].reshape(B, h4 * w4, c4))
+        ins = cfg.decoder_in_chans()
         t2 = SegformerDecoderLayer(
-            288, d[2], heads[2], dec_ratios[2], token_mlp=cfg.token_mlp,
+            ins[1], d[2], heads[2], dec_ratios[2], token_mlp=cfg.token_mlp,
             n_class=cfg.num_classes, dtype=dt, name="decoder_2")(t3, enc[2])
         t1 = SegformerDecoderLayer(
-            144, d[1], heads[1], dec_ratios[1], token_mlp=cfg.token_mlp,
+            ins[2], d[1], heads[1], dec_ratios[1], token_mlp=cfg.token_mlp,
             n_class=cfg.num_classes, dtype=dt, name="decoder_1")(t2, enc[1])
         return SegformerDecoderLayer(
-            32, d[0], heads[0], dec_ratios[0], token_mlp=cfg.token_mlp,
+            ins[3], d[0], heads[0], dec_ratios[0], token_mlp=cfg.token_mlp,
             n_class=cfg.num_classes, is_last=True, dtype=dt,
             name="decoder_0")(t1, enc[0])
 
@@ -662,12 +665,13 @@ class EffMISSFormer(nn.Module):
         t3 = DecoderLayer(d[3], d[3], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, dtype=dt,
                           name="decoder_3")(enc[3].reshape(B, h4 * w4, c4))
-        t2 = DecoderLayer(288, d[2], token_mlp=cfg.token_mlp,
+        ins = cfg.decoder_in_chans()
+        t2 = DecoderLayer(ins[1], d[2], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, dtype=dt,
                           name="decoder_2")(t3, enc[2])
-        t1 = DecoderLayer(144, d[1], token_mlp=cfg.token_mlp,
+        t1 = DecoderLayer(ins[2], d[1], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, dtype=dt,
                           name="decoder_1")(t2, enc[1])
-        return DecoderLayer(32, d[0], token_mlp=cfg.token_mlp,
+        return DecoderLayer(ins[3], d[0], token_mlp=cfg.token_mlp,
                             n_class=cfg.num_classes, is_last=True, dtype=dt,
                             name="decoder_0")(t1, enc[0])

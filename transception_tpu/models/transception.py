@@ -49,33 +49,38 @@ class MSTransception(nn.Module):
         if bridge_kind not in ("none", "None"):
             if bridge_kind == "sp":
                 enc = BridgeBlockSp(geo, cfg.bridge_heads, cfg.num_sp,
-                                    cfg.reduction_ratios, dtype=dt,
+                                    cfg.reduction_ratios,
+                                    use_pallas=cfg.use_pallas, dtype=dt,
                                     name="bridge")(enc, deterministic=not train)
             elif bridge_kind == "para":
                 enc = BridgeBlockPara(geo, cfg.bridge_heads,
-                                      cfg.reduction_ratios, dtype=dt,
+                                      cfg.reduction_ratios,
+                                      use_pallas=cfg.use_pallas, dtype=dt,
                                       name="bridge")(enc)
             else:  # 'original' and any other value (MSTr.py:2802-2809)
                 enc = BridgeBlock4(geo, cfg.bridge_heads, cfg.br_ch_att_list,
                                    cfg.reduction_ratios,
                                    seq_shard_axis=cfg.bridge_seq_shard_axis,
+                                   use_pallas=cfg.use_pallas,
                                    dtype=dt, name="bridge")(enc)
 
         # ---- Decoder ----
-        # in_out_chan (MSTr.py:2814): [dim, out_dim, key_dim, value_dim].
+        # in_out_chan (MSTr.py:2814): [dim, out_dim, key_dim, value_dim];
+        # in_dims derived from cfg.dims (512/288/144/32 at the defaults).
         d = cfg.dims
+        ins = cfg.decoder_in_chans()
         B, h4, w4, c4 = enc[3].shape
         t3 = enc[3].reshape(B, h4 * w4, c4)
-        t3 = DecoderLayer(d[3], d[3], token_mlp=cfg.token_mlp,
+        t3 = DecoderLayer(ins[0], d[3], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, use_pallas=cfg.use_pallas,
                           dtype=dt, name="decoder_3")(t3)
-        t2 = DecoderLayer(288, d[2], token_mlp=cfg.token_mlp,
+        t2 = DecoderLayer(ins[1], d[2], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, use_pallas=cfg.use_pallas,
                           dtype=dt, name="decoder_2")(t3, enc[2])
-        t1 = DecoderLayer(144, d[1], token_mlp=cfg.token_mlp,
+        t1 = DecoderLayer(ins[2], d[1], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, use_pallas=cfg.use_pallas,
                           dtype=dt, name="decoder_1")(t2, enc[1])
-        logits = DecoderLayer(32, d[0], token_mlp=cfg.token_mlp,
+        logits = DecoderLayer(ins[3], d[0], token_mlp=cfg.token_mlp,
                               n_class=cfg.num_classes, is_last=True,
                               use_pallas=cfg.use_pallas, dtype=dt,
                               name="decoder_0")(t1, enc[0])

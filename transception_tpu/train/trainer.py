@@ -35,6 +35,28 @@ from transception_tpu.train.state import (
 logger = logging.getLogger("transception_tpu")
 
 
+def reference_eval_schedule(epoch: int, max_epoch: int, eval_interval: int,
+                            initial_interval: int = 20
+                            ) -> tuple[bool, bool]:
+    """Recipe-exact checkpoint/eval cadence of the reference
+    (trainer.py:179-226), as (save, evaluate) for 0-based `epoch`:
+
+    - phase 1 (epoch in [max/2, max-100)): every `initial_interval` epochs;
+    - phase 2 (epoch >= max-100): every `eval_interval` epochs;
+    - last epoch: always save; evaluate via whichever branch applies
+      (the reference's last-epoch block skips eval only when the phase-2
+      rule already ran it that same epoch).
+    """
+    phase1 = (int(max_epoch / 2) <= epoch < int(max_epoch - 100)
+              and (epoch + 1) % initial_interval == 0)
+    phase2 = (epoch >= int(max_epoch - 100)
+              and (epoch + 1) % eval_interval == 0)
+    last = epoch >= max_epoch - 1
+    save = phase1 or phase2 or last
+    evaluate = phase1 or phase2 or (last and (epoch + 1) % eval_interval != 0)
+    return save, evaluate
+
+
 def make_train_step(model, num_classes: int, ce_w: float, dice_w: float):
     def loss_fn(params, batch_stats, images, labels, dropout_rng):
         outs, updates = model.apply(
@@ -56,15 +78,18 @@ def make_train_step(model, num_classes: int, ce_w: float, dice_w: float):
     return train_step
 
 
-def _log_images(writer, model, state, images, labels, it):
+def _log_images(writer, pred_fn, state, images, labels, it):
     """TB image triplets every N iters (trainer.py:167-174 equivalent):
-    normalized input, argmax prediction x50, label x50 for sample 0."""
+    normalized input, argmax prediction x50, label x50 for sample 0.
+
+    pred_fn is the jitted argmax-forward, built once per Trainer — wrapping
+    a fresh lambda here would force a retrace (minutes through the TPU
+    tunnel) on every call."""
     import numpy as np
     img = np.asarray(images[0, :, :, 0], np.float32)
     rng = img.max() - img.min()
     img = (img - img.min()) / (rng if rng > 0 else 1.0)
-    pred = np.asarray(jax.jit(
-        lambda v, x: jnp.argmax(model.apply(v, x, train=False), -1))(
+    pred = np.asarray(pred_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         images[:1]))[0]
     writer.add_image("train/Image", img[None], it)
@@ -130,11 +155,26 @@ class Trainer:
             "step": 0,
         }
         restored = ckptr.restore(path, target)
+        # Restore hands back host numpy; re-apply the mesh shardings or a
+        # tp_size>1 resume would silently re-place params replicated.
+        from transception_tpu.parallel.mesh import replicate
+        fallback = replicate(self.mesh)
+
+        def sharding_of(x):
+            return x.sharding if isinstance(x, jax.Array) else fallback
+
+        params = shard_params(restored["params"], self.mesh)
+        batch_stats = jax.device_put(
+            restored["batch_stats"],
+            jax.tree_util.tree_map(sharding_of, state.batch_stats))
+        opt_state = jax.device_put(
+            restored["opt_state"],
+            jax.tree_util.tree_map(sharding_of, state.opt_state))
         return state.replace(
             step=jnp.asarray(restored["step"], jnp.int32),
-            params=restored["params"],
-            batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"])
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state)
 
     # ---- main loop ----
     def train(self, max_steps: Optional[int] = None):
@@ -185,6 +225,10 @@ class Trainer:
             writer = SummaryWriter(os.path.join(cfg.output_dir, "tb"))
         except Exception:  # pragma: no cover
             pass
+        # Built once: re-wrapping in jax.jit per _log_images call would
+        # recompile the eval forward every 200 iterations (ADVICE r1).
+        tb_pred_fn = jax.jit(lambda v, x: jnp.argmax(
+            self.model.apply(v, x, train=False), -1))
 
         dice_hist, hd95_hist = [], []
         it = int(state.step)
@@ -217,7 +261,7 @@ class Trainer:
                         writer.add_scalar(f"info/{k}", float(v), it)
                 if writer is not None and it % 200 == 0:
                     try:
-                        _log_images(writer, self.model, state, images,
+                        _log_images(writer, tb_pred_fn, state, images,
                                     labels, it)
                     except Exception:  # pragma: no cover
                         pass
@@ -232,11 +276,19 @@ class Trainer:
                 if it >= total_steps:
                     done = True
                     break
-            # Eval/checkpoint schedule (trainer.py:179-226, simplified to a
-            # single interval knob).
-            if done or (epoch + 1) % cfg.ckpt_every == 0:
+            # Eval/checkpoint schedule: 'interval' = simple every-N knobs;
+            # 'reference' = the recipe-exact two-phase cadence
+            # (trainer.py:179-226) for checkpoint-for-checkpoint 500-epoch
+            # reproduction runs.
+            if cfg.eval_schedule == "reference":
+                do_save, do_eval = reference_eval_schedule(
+                    epoch, cfg.max_epochs, cfg.eval_interval)
+            else:
+                do_save = (epoch + 1) % cfg.ckpt_every == 0
+                do_eval = (epoch + 1) % cfg.eval_interval == 0
+            if done or do_save:
                 self.save_checkpoint(state, it)
-            if done or (epoch + 1) % cfg.eval_interval == 0:
+            if done or do_eval:
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
                 if self.data_cfg.dataset == "isic":
