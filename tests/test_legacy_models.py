@@ -93,3 +93,27 @@ def test_registry_creates_all_models():
     for name in MODEL_REGISTRY:
         m = create_model(name, TINY)
         assert m is not None
+
+
+def test_resinception_variants():
+    """comment.py's MiT_3_ResInception (dead in the reference) rebuilt:
+    forward shape for the '15' default and the '135' 3-branch set."""
+    import jax
+    import jax.numpy as jnp
+    from conftest import tiny_config
+    from transception_tpu.models.legacy import ResInceptionTransception
+
+    for inception in ("15", "135"):
+        cfg = tiny_config()
+        model = ResInceptionTransception(cfg, inception=inception)
+        x = jnp.zeros((2, 32, 32, 1), jnp.float32)
+        v = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), x, train=False)
+        out = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, x)
+        assert out.shape == (2, 32, 32, 9)
+
+
+def test_resinception_registry():
+    from transception_tpu.models.registry import MODEL_REGISTRY
+    assert "resinception" in MODEL_REGISTRY
+    assert "resinception_135" in MODEL_REGISTRY

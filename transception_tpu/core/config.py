@@ -105,6 +105,12 @@ class TransceptionConfig:
     remat: bool = False
     # Use fused Pallas kernels for linear attention where shapes allow.
     use_pallas: bool = True
+    # Kernels in the TRAINING step: off by default — the fused forwards
+    # carry recompute-style custom-VJP backwards that cost more than
+    # XLA's joint-optimized fwd+bwd (measured +13 ms/step at bs=24 on
+    # v5e, r2). Inference keeps the kernels. Flip when Pallas backward
+    # kernels land.
+    use_pallas_train: bool = False
     # Execute the num_path MHCA encoders of each stage as one vmapped
     # (path-stacked-params) call instead of sequentially — same math,
     # measured +14% inference / +81% training on v5e. Changes the param

@@ -675,3 +675,123 @@ class EffMISSFormer(nn.Module):
         return DecoderLayer(ins[3], d[0], token_mlp=cfg.token_mlp,
                             n_class=cfg.num_classes, is_last=True, dtype=dt,
                             name="decoder_0")(t1, enc[0])
+
+
+# ---------------------------------------------------------------------------
+# ResInception variant (comment.py) — aborted in the reference, rebuilt.
+# ---------------------------------------------------------------------------
+
+_INCEPTION_BRANCHES = {
+    "1": ("res",),
+    "3": ("3",),
+    "5": ("5",),
+    "13": ("res", "3"),
+    "15": ("res", "5"),
+    "135": ("res", "3", "5"),
+}
+
+
+class MiTResInception(nn.Module):
+    """MiT_3_ResInception encoder (comment.py:5-203) — dead/unimportable in
+    the reference (the file imports only torch+nn, and its own default
+    inception key '135' is missing from its block table, comment.py:52-58);
+    rebuilt here with the intended semantics:
+
+    stage 1: OverlapPatchEmbeddings(7,4,3) + EfficientTransformerBlocks.
+    stages 2-4: a strided overlap patch-embed branch (comment.py:40-47)
+    plus a MultiRes inception-conv branch (comment.py:60-63) are fused into
+    one token sequence, jointly attended by EfficientTransformerBlockFuse_res
+    (comment.py:70-85, 110-113), split back into equal-length per-branch
+    maps, channel-concatenated and 1x1-projected to the stage dim
+    (comment.py:115-133).
+
+    Documented divergence from the dead code: conv1_1_sX input width is
+    derived from the actual branch count ((1+len(branches))*dim) instead of
+    the hardcoded (len(inception)+1)*dim, which mismatches for every
+    inception choice whose MultiResBlock emits a different number of token
+    streams (e.g. '15' emits 2, not 3) — one of the bugs that kept the
+    file dead."""
+
+    cfg: TransceptionConfig
+    inception: str = "15"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        dims = cfg.dims
+        layers = (2, 2, 2, 2)
+        if cfg.dil_conv:
+            dilation, pads = 2, (3, 2, 2, 2)  # comment.py:15-19
+        else:
+            dilation, pads = 1, (3, 1, 1, 1)  # comment.py:21-26
+        branches = _INCEPTION_BRANCHES[self.inception]
+        from transception_tpu.ops.multires import MultiResBlock
+        outs = []
+
+        t, H, W = OverlapPatchEmbed(dims[0], 7, 4, 3, dtype=dt,
+                                    name="patch_embed1")(x)
+        for i in range(layers[0]):
+            t = EfficientTransformerBlock(
+                dims[0], dims[0], dims[0], token_mlp=cfg.token_mlp,
+                dtype=dt, name=f"block1_{i}")(t, H, W)
+        t = LayerNorm(dtype=dt, name="norm1")(t)
+        m = t.reshape(t.shape[0], H, W, dims[0])
+        outs.append(m)
+
+        for s in range(1, 4):
+            x1, H1, W1 = OverlapPatchEmbedFuse(
+                dims[s], 3, 2, pads[s], dilation, dtype=dt,
+                name=f"patch_embed{s + 1}_1")(m)
+            n1 = x1.shape[1]
+            # inception branch: maxpool(downsample=2) puts every branch on
+            # the same H1 x W1 grid as the patch embed (comment.py:60-63).
+            x2 = MultiResBlock(dims[s], branches, downsample=2, dtype=dt,
+                               name=f"resInception{s + 1}_2")(m, train)
+            cat = jnp.concatenate([x1, x2], axis=1)
+            for i in range(layers[s]):
+                cat = EfficientTransformerBlockFuseRes(
+                    dims[s], dims[s], dims[s], token_mlp=cfg.token_mlp,
+                    dtype=dt, name=f"block{s + 1}_{i}")(cat, n1, H1, W1)
+            tx = LayerNorm(dtype=dt, name=f"norm{s + 1}")(cat)
+            B, tx_len, C = tx.shape
+            maps = [tx[:, nz * n1:(nz + 1) * n1, :].reshape(B, H1, W1, C)
+                    for nz in range(tx_len // n1)]
+            cat_maps = jnp.concatenate(maps, axis=-1)
+            m = nn.Conv(dims[s], (1, 1), dtype=dt, param_dtype=jnp.float32,
+                        kernel_init=xavier, name=f"conv1_1_s{s + 1}")(cat_maps)
+            outs.append(m)
+        return outs
+
+
+class ResInceptionTransception(nn.Module):
+    """MiTResInception encoder + the standard 4-stage decoder cascade (no
+    bridge), mirroring how the other legacy encoders are assembled into
+    models (Transception.py:1010-1057 pattern)."""
+
+    cfg: TransceptionConfig
+    inception: str = "15"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        x = x.astype(dt)
+        enc = MiTResInception(cfg, self.inception, name="backbone")(x, train)
+        d = cfg.dims
+        ins = cfg.decoder_in_chans()
+        B, h4, w4, c4 = enc[3].shape
+        t3 = DecoderLayer(d[3], d[3], token_mlp=cfg.token_mlp,
+                          n_class=cfg.num_classes, dtype=dt,
+                          name="decoder_3")(enc[3].reshape(B, h4 * w4, c4))
+        t2 = DecoderLayer(ins[1], d[2], token_mlp=cfg.token_mlp,
+                          n_class=cfg.num_classes, dtype=dt,
+                          name="decoder_2")(t3, enc[2])
+        t1 = DecoderLayer(ins[2], d[1], token_mlp=cfg.token_mlp,
+                          n_class=cfg.num_classes, dtype=dt,
+                          name="decoder_1")(t2, enc[1])
+        return DecoderLayer(ins[3], d[0], token_mlp=cfg.token_mlp,
+                            n_class=cfg.num_classes, is_last=True, dtype=dt,
+                            name="decoder_0")(t1, enc[0])

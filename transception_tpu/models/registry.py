@@ -46,6 +46,14 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     # Baselines rebuilt from the reference's duplicated segformer blocks.
     "missformer": _missformer,
     "effmissformer": _eff_missformer,
+    # ResInception variant (comment.py, dead in the reference) — rebuilt
+    # intended semantics; inception key picks the MultiRes branch set.
+    "resinception": lambda cfg: __import__(
+        "transception_tpu.models.legacy", fromlist=["ResInceptionTransception"]
+    ).ResInceptionTransception(cfg),
+    "resinception_135": lambda cfg: __import__(
+        "transception_tpu.models.legacy", fromlist=["ResInceptionTransception"]
+    ).ResInceptionTransception(cfg, inception="135"),
 }
 
 

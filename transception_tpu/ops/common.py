@@ -24,6 +24,32 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def _fwd_only_barrier_impl(x):
+    import jax
+    return jax.lax.optimization_barrier(x)
+
+
+def fwd_only_barrier(x):
+    """optimization_barrier in the forward pass only; the backward is a
+    plain pass-through. Blocks XLA from fusing a convert into the
+    producer matmul (which would materialize the tensor at fp32) without
+    constraining how the cotangent graph fuses."""
+    import jax
+
+    @jax.custom_vjp
+    def _b(x):
+        return _fwd_only_barrier_impl(x)
+
+    def _b_fwd(x):
+        return _fwd_only_barrier_impl(x), None
+
+    def _b_bwd(_, g):
+        return (g,)
+
+    _b.defvjp(_b_fwd, _b_bwd)
+    return _b(x)
+
+
 class LayerNorm(nn.Module):
     """fp32 LayerNorm returning the input compute dtype."""
 
@@ -185,9 +211,10 @@ class FinalPatchExpandX4(nn.Module):
         # Keep the 16x expansion materialized in bf16: without the
         # barrier XLA fuses the LN's fp32 convert INTO the matmul and the
         # (B, N, 16*dim) tensor lands in HBM at 4 bytes/elt (measured
-        # +8 ms at b=128/224² on v5e).
-        import jax
-        y = jax.lax.optimization_barrier(y)
+        # +8 ms at b=128/224² on v5e). Forward-only: barriering the
+        # cotangent too blocks backward fusions and costs more than it
+        # saves in the train step.
+        y = fwd_only_barrier(y)
         # LN before the pixel shuffle (commutes — see PatchExpand): keeps
         # the 224²-resolution rearrange in the compute dtype. This was the
         # #2 cost of the forward (fp32 copies of (B, 3136, 1024), ~10 ms

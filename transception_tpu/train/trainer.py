@@ -104,11 +104,21 @@ class Trainer:
 
     def __init__(self, model_cfg: TransceptionConfig, train_cfg: TrainConfig,
                  data_cfg: DataConfig, model=None):
+        import dataclasses as _dc
         from transception_tpu.models.transception import MSTransception
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.data_cfg = data_cfg
         self.model = model or MSTransception(model_cfg)
+        # Train-step model: same params, but kernels gated by
+        # use_pallas_train (their custom-VJP backwards are slower than
+        # XLA's fused fwd+bwd — see core/config.py). Eval keeps kernels.
+        if model is None and model_cfg.use_pallas and \
+                not model_cfg.use_pallas_train:
+            self.train_model = MSTransception(
+                _dc.replace(model_cfg, use_pallas=False))
+        else:
+            self.train_model = self.model
         self.mesh = make_mesh(train_cfg.dp_size, train_cfg.tp_size)
         os.makedirs(train_cfg.output_dir, exist_ok=True)
         self._setup_logging()
@@ -199,7 +209,7 @@ class Trainer:
 
     def _train_loop(self, cfg, loader, test_ds, steps_per_epoch, rng,
                     sample, max_steps):
-        state = create_train_state(self.model, cfg, steps_per_epoch,
+        state = create_train_state(self.train_model, cfg, steps_per_epoch,
                                    sample, rng)
         # Shard: params via TP rules (replicated by default), batch on data.
         state = state.replace(
@@ -215,7 +225,7 @@ class Trainer:
 
         schedule = make_lr_schedule(cfg, steps_per_epoch)
         step_fn = jax.jit(make_train_step(
-            self.model, self.data_cfg.num_classes, cfg.ce_weight,
+            self.train_model, self.data_cfg.num_classes, cfg.ce_weight,
             cfg.dice_weight), donate_argnums=(0,))
         data_shard = batch_sharding(self.mesh)
 
