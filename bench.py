@@ -106,6 +106,30 @@ def main():
         per_chip = peak / flops_per_slice
         implied_mfu = 1.0
 
+    # p50 per-volume latency (BASELINE north-star row 3): full eval path
+    # for a Synapse-like 148-slice 512² volume — host spline resample to
+    # 224², batched predict, order-0 resample back. End-to-end wall time
+    # is trustworthy here: materializing the uint8 prediction on host
+    # forces real D2H completion (unlike bare block_until_ready).
+    import numpy as np
+    from transception_tpu.eval.inference import (
+        _resize_pred_back,
+        _resize_slices_scipy,
+        make_predictor,
+    )
+    predict = make_predictor(model, variables, 224, batch=32)
+    vol = np.random.default_rng(0).random((148, 512, 512)).astype(np.float32)
+    # Warm the batch-32 compile + resampler planning out of the timing.
+    _resize_pred_back(predict(_resize_slices_scipy(vol, 224)), 512, 512)
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sl = (_resize_slices_scipy(vol, 224) - 0.5) / 0.5
+        pred = _resize_pred_back(predict(sl), 512, 512)
+        lat.append(time.perf_counter() - t0)
+    assert pred.shape == (148, 512, 512)
+    p50_volume_latency = sorted(lat)[len(lat) // 2]
+
     target_per_chip = 5000.0 / 8  # north-star: 5000 on v5e-8
     print(json.dumps({
         "metric": "synapse_224_inference_slices_per_sec_per_chip",
@@ -121,6 +145,7 @@ def main():
         "wall_clock_slices_per_sec": round(wall_slices_per_sec, 2),
         "wall_clock_implied_mfu": round(mfu(
             wall_slices_per_sec / max(len(jax.devices()), 1)), 4),
+        "p50_volume_latency_s": round(p50_volume_latency, 3),
     }))
 
 

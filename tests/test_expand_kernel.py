@@ -1,0 +1,124 @@
+"""Fused patch-expand epilogue kernel: numerics vs the XLA path, grads,
+and param-tree compatibility between the fused and XLA branches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transception_tpu.ops.common import FinalPatchExpandX4, PatchExpand
+from transception_tpu.ops.pallas.expand_kernel import (
+    eligible,
+    fused_patch_expand,
+)
+from transception_tpu.ops.pallas.patch_expand import _reference_impl
+
+
+def _rand(shape, seed, dtype=jnp.float32):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape), dtype)
+
+
+def _shuffle(y, H, W, p, c):
+    """The XLA-side pixel shuffle applied after the kernel (the kernel
+    returns the pre-shuffle (B, N, p²c) tensor)."""
+    B = y.shape[0]
+    y = y.reshape(B, H, W, p, p, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, p * p * H * W, c)
+
+
+@pytest.mark.parametrize("H,C,p,c", [
+    (8, 64, 4, 64),    # FinalPatchExpandX4 geometry (tiny)
+    (8, 128, 2, 64),   # PatchExpand geometry
+    (56, 64, 4, 64),   # published decoder-head geometry
+])
+def test_kernel_matches_reference(H, C, p, c):
+    x = _rand((2, H * H, C), 0)
+    w = _rand((C, p * p * c), 1)
+    scale = _rand((c,), 2) * 0.1 + 1.0
+    bias = _rand((c,), 3) * 0.1
+    got = _shuffle(fused_patch_expand(x, w, scale, bias, H=H, W=H, p=p,
+                                      c=c, interpret=True), H, H, p, c)
+    want = _reference_impl(x, w, scale, bias, H, H, p, c, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_bf16():
+    H, C, p, c = 8, 64, 4, 64
+    x = _rand((1, H * H, C), 0, jnp.bfloat16)
+    w = _rand((C, p * p * c), 1)
+    scale = jnp.ones((c,))
+    bias = jnp.zeros((c,))
+    got = _shuffle(fused_patch_expand(x, w, scale, bias, H=H, W=H, p=p,
+                                      c=c, interpret=True), H, H, p, c)
+    want = _reference_impl(x, w, scale, bias, H, H, p, c, 1e-5)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_eligibility_gate():
+    assert eligible((128, 3136, 64), 64, 64, 4, jnp.bfloat16)
+    # non-square token count
+    assert not eligible((1, 50, 64), 64, 64, 4, jnp.float32)
+    # giant weight
+    assert not eligible((1, 3136, 2048), 2048, 2048, 4, jnp.float32)
+
+
+def test_facade_bwd_matches_autodiff():
+    from transception_tpu.ops.pallas import patch_expand as fa
+    H, C, p, c = 4, 32, 2, 16
+    x = _rand((2, H * H, C), 0)
+    w = _rand((C, p * p * c), 1)
+    scale = _rand((c,), 2) * 0.1 + 1.0
+    bias = _rand((c,), 3) * 0.1
+    g = _rand((2, p * p * H * H, c), 4)
+
+    def ref(x_, w_, s_, b_):
+        return _reference_impl(x_, w_, s_, b_, H, H, p, c, 1e-5)
+
+    _, vjp = jax.vjp(ref, x, w, scale, bias)
+    want = vjp(g)
+    got = fa._fused_bwd(H, H, p, c, 1e-5, (x, w, scale, bias), g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_param_tree_identical_between_branches(monkeypatch):
+    """use_pallas=True must create exactly the same params as the XLA
+    branch so checkpoints are interchangeable."""
+    from transception_tpu.ops.pallas import patch_expand as fa
+    x = jnp.zeros((1, 64, 64), jnp.float32)
+
+    xla = FinalPatchExpandX4(64, use_pallas=False, dtype=jnp.float32)
+    v_xla = xla.init(jax.random.PRNGKey(0), x, 8, 8)
+
+    # Force the fused branch on CPU (kernel runs in interpret mode).
+    monkeypatch.setattr(fa, "_target_platform", lambda: "tpu")
+    import transception_tpu.ops.pallas.expand_kernel as ek
+    orig = ek.fused_patch_expand
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ek, "fused_patch_expand", interp)
+    fused = FinalPatchExpandX4(64, use_pallas=True, dtype=jnp.float32)
+    v_fused = fused.init(jax.random.PRNGKey(0), x, 8, 8)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(v_xla)[0]
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(v_fused)[0]}
+    assert len(flat_a) == len(flat_b)
+    for k, va in flat_a:
+        ks = jax.tree_util.keystr(k)
+        assert ks in flat_b, ks
+        assert va.shape == flat_b[ks].shape
+        np.testing.assert_array_equal(np.asarray(va),
+                                      np.asarray(flat_b[ks]))
+    # and the outputs agree
+    out_a = xla.apply(v_xla, x, 8, 8)
+    out_b = fused.apply(v_fused, x, 8, 8)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=2e-5, atol=2e-5)

@@ -42,7 +42,8 @@ class DecoderLayer(nn.Module):
             B = x1.shape[0]
             n = x1.shape[1]
             side = int(round(n ** 0.5))
-            return PatchExpand(self.out_dim, dtype=self.dtype,
+            return PatchExpand(self.out_dim, use_pallas=self.use_pallas,
+                               dtype=self.dtype,
                                name="layer_up")(x1, side, side)
 
         B, H, W, C = x2.shape
@@ -59,7 +60,8 @@ class DecoderLayer(nn.Module):
             token_mlp=self.token_mlp, use_pallas=self.use_pallas,
             dtype=self.dtype, name="layer_former_2")(t, H, W)
         if self.is_last:
-            t = FinalPatchExpandX4(self.out_dim, dtype=self.dtype,
+            t = FinalPatchExpandX4(self.out_dim, use_pallas=self.use_pallas,
+                                   dtype=self.dtype,
                                    name="layer_up")(t, H, W)
             m = t.reshape(B, 4 * H, 4 * W, self.out_dim)
             # fp32 head (logits policy); flax promotes the bf16 input
@@ -68,5 +70,5 @@ class DecoderLayer(nn.Module):
             return nn.Conv(self.n_class, (1, 1), dtype=jnp.float32,
                            param_dtype=jnp.float32, kernel_init=xavier,
                            name="last_layer")(m)
-        return PatchExpand(self.out_dim, dtype=self.dtype,
-                           name="layer_up")(t, H, W)
+        return PatchExpand(self.out_dim, use_pallas=self.use_pallas,
+                           dtype=self.dtype, name="layer_up")(t, H, W)

@@ -171,6 +171,72 @@ class OverlapPatchEmbed(nn.Module):
         return t, H, W
 
 
+class _DenseKernelParam(nn.Module):
+    """Param-holder producing the exact path/shape/init of an unbiased
+    nn.Dense kernel, so the fused-kernel branch shares checkpoints with
+    the XLA branch."""
+
+    shape: Any
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", xavier, tuple(self.shape), jnp.float32)
+
+
+class _LNParams(nn.Module):
+    """Param-holder matching LayerNorm's norm/ln/{scale,bias} layout."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        class _Inner(nn.Module):
+            dim: int
+
+            @nn.compact
+            def __call__(self):
+                s = self.param("scale", nn.initializers.ones,
+                               (self.dim,), jnp.float32)
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.dim,), jnp.float32)
+                return s, b
+
+        return _Inner(self.dim, name="ln")()
+
+
+def _expand_epilogue(x, H, W, p, dim_out_c, expand_features, token_c,
+                     dtype, use_pallas, barrier=False):
+    """Shared body of PatchExpand/FinalPatchExpandX4: Dense(expand) ->
+    LN(norm) -> pixel shuffle, either as the fused Pallas epilogue
+    (ops/pallas/expand_kernel.py — the decoder head's XLA lowering cost
+    ~16.6 ms of a 144 ms b=128 forward) or the plain XLA chain."""
+    B, N, C = x.shape
+    c = token_c
+    if use_pallas:
+        from transception_tpu.ops.pallas.patch_expand import (
+            can_fuse,
+            fused_expand,
+        )
+        if can_fuse(x.shape, C, c, p, x.dtype):
+            w = _DenseKernelParam((C, expand_features), name="expand")()
+            scale, bias = _LNParams(c, name="norm")()
+            return fused_expand(x.astype(dtype), w, scale, bias,
+                                H=H, W=W, p=p, c=c)
+    y = nn.Dense(expand_features, use_bias=False, dtype=dtype,
+                 param_dtype=jnp.float32, kernel_init=xavier,
+                 name="expand")(x)
+    # LN normalizes each c-vector independently and the pixel shuffle
+    # permutes whole c-vectors, so LN commutes with the rearrange —
+    # applying it first keeps the (p²x-larger) shuffle copies in the
+    # compute dtype instead of fp32 (measured HBM win on v5e).
+    if barrier:
+        y = fwd_only_barrier(y)
+    y = LayerNorm(dtype=dtype, name="norm")(
+        y.reshape(B, p * p * N, c))
+    y = y.reshape(B, H, W, p, p, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, p * p * H * W, c)
+
+
 class PatchExpand(nn.Module):
     """2x pixel-shuffle upsample: Linear(dim->2dim) + rearrange + LN
     (MSTr.py:176-201). Token layout matches einops
@@ -178,51 +244,32 @@ class PatchExpand(nn.Module):
     """
 
     dim: int
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, H: int, W: int):
-        B, N, C = x.shape
-        y = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                     param_dtype=jnp.float32, kernel_init=xavier,
-                     name="expand")(x)
-        c = self.dim // 2
-        # LN normalizes each c-vector independently and the pixel shuffle
-        # permutes whole c-vectors, so LN commutes with the rearrange —
-        # applying it first keeps the (4x-larger) shuffle copies in the
-        # compute dtype instead of fp32 (measured HBM win on v5e).
-        y = LayerNorm(dtype=self.dtype, name="norm")(y.reshape(B, 4 * N, c))
-        y = y.reshape(B, H, W, 2, 2, c)
-        return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * H * W, c)
+        return _expand_epilogue(x, H, W, 2, self.dim, 2 * self.dim,
+                                self.dim // 2, self.dtype, self.use_pallas)
 
 
 class FinalPatchExpandX4(nn.Module):
-    """4x upsample: Linear(dim->16dim) + rearrange + LN (MSTr.py:203-227)."""
+    """4x upsample: Linear(dim->16dim) + rearrange + LN (MSTr.py:203-227).
+
+    The XLA fallback keeps the 16x expansion in bf16 (fwd-only barrier so
+    the LN's fp32 convert can't fuse into the matmul and materialize the
+    (B, N, 16*dim) tensor at 4 bytes/elt); with use_pallas the whole
+    epilogue runs as one fused kernel."""
 
     dim: int
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, H: int, W: int):
-        B, N, C = x.shape
-        y = nn.Dense(16 * self.dim, use_bias=False, dtype=self.dtype,
-                     param_dtype=jnp.float32, kernel_init=xavier,
-                     name="expand")(x)
-        # Keep the 16x expansion materialized in bf16: without the
-        # barrier XLA fuses the LN's fp32 convert INTO the matmul and the
-        # (B, N, 16*dim) tensor lands in HBM at 4 bytes/elt (measured
-        # +8 ms at b=128/224² on v5e). Forward-only: barriering the
-        # cotangent too blocks backward fusions and costs more than it
-        # saves in the train step.
-        y = fwd_only_barrier(y)
-        # LN before the pixel shuffle (commutes — see PatchExpand): keeps
-        # the 224²-resolution rearrange in the compute dtype. This was the
-        # #2 cost of the forward (fp32 copies of (B, 3136, 1024), ~10 ms
-        # at b=128 on v5e).
-        y = LayerNorm(dtype=self.dtype, name="norm")(
-            y.reshape(B, 16 * N, self.dim))
-        y = y.reshape(B, H, W, 4, 4, self.dim)
-        return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 16 * H * W, self.dim)
+        return _expand_epilogue(x, H, W, 4, self.dim, 16 * self.dim,
+                                self.dim, self.dtype, self.use_pallas,
+                                barrier=True)
 
 
 class ConvPosEnc(nn.Module):
