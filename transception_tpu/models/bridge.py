@@ -298,6 +298,12 @@ class BridgeLayer4(nn.Module):
             # (measured 4 warnings vs 1); the single remaining warning is
             # on a 16 KB grad-accumulation tensor in the dwconv backward
             # and is cosmetic.
+            # NB: the fused MixFFN_skip kernel (ops/pallas/mixffn_kernel)
+            # is deliberately NOT enabled here: measured on v5e b=128 it
+            # is net-neutral (2.53+1.67 ms for scales 0-1 vs ~4.2 ms XLA;
+            # the 9-tap depthwise conv makes it VPU-bound, and overall
+            # throughput dipped 904 -> 897 slices/s). Kept built+tested
+            # as groundwork; revisit with a fused-multiply conv layout.
             f = MixFFNSkip(C * mult, C * mult * 4, dtype=self.dtype,
                            name=f"mixffn{i + 1}")(t, s, s)
             ffn_outs.append(f.reshape(B, -1, C))

@@ -99,19 +99,60 @@ class MixFFN(nn.Module):
                         kernel_init=xavier, name="fc2")(h)
 
 
+class _DenseParams(nn.Module):
+    """Param-holder matching nn.Dense's kernel+bias paths/inits."""
+
+    shape: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", xavier, tuple(self.shape), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.shape[-1],), jnp.float32)
+        return k, b
+
+
 class MixFFNSkip(nn.Module):
     """fc1 -> (DWConv + fc1 skip) -> LN -> GELU -> fc2 (MSTr.py:889-902).
 
     The hot FFN in every encoder/bridge block; fc1 output is computed once
-    and reused for the skip.
+    and reused for the skip. With use_pallas (and an eligible square map)
+    the whole chain runs as one fused kernel
+    (ops/pallas/mixffn_kernel.py) — HBM sees only the C-wide input and
+    output, never the 4x hidden state; param tree identical to the XLA
+    branch.
     """
 
     c1: int
     c2: int
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, H: int, W: int):
+        if self.use_pallas:
+            from transception_tpu.ops.pallas.mixffn import (
+                can_fuse,
+                fused_mixffn,
+            )
+            if can_fuse(x.shape, H, W, self.c2, x.dtype):
+                w1, b1 = _DenseParams((x.shape[-1], self.c2), name="fc1")()
+
+                class _ConvHolder(nn.Module):
+                    c2: int
+
+                    @nn.compact
+                    def __call__(self):
+                        return _DenseParams((3, 3, 1, self.c2),
+                                            name="dwconv")()
+
+                dwk, dwb = _ConvHolder(self.c2, name="dwconv")()
+                ls, lb = _LNParams(self.c2, name="norm1")()
+                w2, b2 = _DenseParams((self.c2, self.c1), name="fc2")()
+                return fused_mixffn(
+                    x.astype(self.dtype), w1, b1,
+                    dwk.reshape(3, 3, self.c2), dwb, ls, lb, w2, b2,
+                    s=H, hidden=self.c2)
         h = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=xavier, name="fc1")(x)
         d = DWConv(self.c2, dtype=self.dtype, name="dwconv")(h, H, W)

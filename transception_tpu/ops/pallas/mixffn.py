@@ -1,0 +1,83 @@
+"""Dispatch facade for the fused MixFFN_skip kernel.
+
+can_fuse() is static (platform + shapes) so the module can decide which
+branch owns the flax params before creating them (both branches create
+identical param trees). The fused forward carries a custom VJP whose
+backward is jax.vjp of a reference jnp implementation — only exercised
+if gradients flow through a use_pallas model (training defaults to the
+XLA path, core/config.py use_pallas_train).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _target_platform() -> str:
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
+def can_fuse(x_shape, H: int, W: int, hidden: int, dtype) -> bool:
+    if H != W or _target_platform() != "tpu":
+        return False
+    from transception_tpu.ops.pallas import mixffn_kernel as mk
+    return mk.eligible(x_shape, x_shape[-1], hidden, dtype)
+
+
+def _reference_impl(x, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden, eps):
+    """jnp mirror of ops/common.py MixFFNSkip (for the VJP)."""
+    B, N, C = x.shape
+    dt = x.dtype
+    h = (jnp.einsum("bnc,ch->bnh", x, w1.astype(dt),
+                    preferred_element_type=jnp.float32)
+         + b1.astype(jnp.float32)).astype(dt)
+    hm = h.reshape(B, s, s, hidden)
+    d = jax.lax.conv_general_dilated(
+        hm, dw.reshape(3, 3, 1, hidden).astype(dt), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=hidden,
+        preferred_element_type=jnp.float32)
+    d = (d + dwb.astype(jnp.float32)).astype(dt).reshape(B, N, hidden)
+    y = (d + h).astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(y * y, axis=-1, keepdims=True) - mean * mean
+    a = (y - mean) * jax.lax.rsqrt(var + eps)
+    a = (a * ls.astype(jnp.float32) + lb.astype(jnp.float32)).astype(dt)
+    a = jax.nn.gelu(a.astype(jnp.float32), approximate=False).astype(dt)
+    out = (jnp.einsum("bnh,hc->bnc", a, w2.astype(dt),
+                      preferred_element_type=jnp.float32)
+           + b2.astype(jnp.float32)).astype(dt)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _fused(x, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden, eps):
+    from transception_tpu.ops.pallas import mixffn_kernel as mk
+    return mk.fused_mixffn_skip(x, w1, b1, dw, dwb, ls, lb, w2, b2,
+                                s=s, hidden=hidden, eps=eps)
+
+
+def _fused_fwd(x, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden, eps):
+    args = (x, w1, b1, dw, dwb, ls, lb, w2, b2)
+    return _fused(*args, s, hidden, eps), args
+
+
+def _fused_bwd(s, hidden, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _reference_impl(*a, s, hidden, eps), *res)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_mixffn(x, w1, b1, dw, dwb, ls, lb, w2, b2, s: int, hidden: int,
+                 eps: float = 1e-5):
+    """Fused fc1 -> dwconv+skip -> LN -> gelu -> fc2; call can_fuse first."""
+    return _fused(x, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden, eps)

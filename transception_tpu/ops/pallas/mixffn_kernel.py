@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: fully fused MixFFN_skip
+(fc1 -> DWConv3x3 + fc1-skip -> LN -> GELU -> fc2, MSTr.py:889-902).
+
+The bridge runs 16 of these per forward (4 layers x 4 scales) and XLA's
+lowering materializes the 4x hidden state several times in HBM (fc1 out,
+dwconv out, LN/GELU out) — measured 6.1 ms/layer at ~508 GB/s, the
+largest remaining cost of the b=128 forward. This kernel keeps the whole
+per-batch (s², C) token map resident in VMEM (the BlockSpec index map is
+constant in the row-tile axis, so it is fetched once per batch) and
+streams row-tiles of the hidden state: fc1 is recomputed over a one-row
+halo window instead of exchanged, the depthwise 3x3 conv is nine shifted
+multiply-adds on the zero-padded window (the window is clamped so its
+pad rows coincide exactly with the map's true edges — no masks needed),
+LN reduces over the (minor) hidden axis, and only the final C-wide fc2
+output is written back. HBM traffic per call: read x once + write out
+once.
+
+Matmuls accumulate fp32 on the MXU and round to the compute dtype at the
+same points as the XLA path (each flax Dense/Conv emits the compute
+dtype), so numerics match within bf16 rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_rows(s: int, C: int, hidden: int, itemsize: int) -> int:
+    """Row-tile height < s (>=2 tiles so window clamping is well-defined),
+    dividing s, with (rows*s) % 8 == 0 (Mosaic sublane rule) and the
+    padded fp32 window fitting VMEM."""
+    for rows in (8, 7, 4, 2, 1):
+        if rows >= s or s % rows != 0:
+            continue
+        if (rows * s) % 8 != 0:
+            continue
+        win = (rows + 4) * (s + 2) * hidden
+        need = (win * 4 * 2                  # fp32 window + conv acc
+                + s * s * C * itemsize       # resident input map
+                + (C + 8) * hidden * itemsize * 2)  # w1, w2ᵀ
+        if need <= _VMEM_BUDGET:
+            return rows
+    return 0
+
+
+def eligible(x_shape, C: int, hidden: int, dtype) -> bool:
+    B, N, C_in = x_shape
+    s = int(round(N ** 0.5))
+    if s * s != N or C_in != C:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    return _pick_rows(s, C, hidden, itemsize) > 0
+
+
+def _kernel(x_ref, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
+            w2_ref, b2_ref, o_ref, hp_ref, *, s: int, rows: int,
+            hidden: int, eps: float):
+    dt = o_ref.dtype
+    j = pl.program_id(1)
+    r0 = j * rows
+    R = rows + 2
+    # Window [start, start+R) clamped into the map; targets at off=r0-start.
+    start = jnp.clip(r0 - 1, 0, s - R)
+    off = r0 - start
+
+    # x is laid out (1, s, s, C); slicing whole rows on dim 1 keeps the
+    # dynamic index off the tiled (sublane/lane) dims, which Mosaic
+    # requires to be statically 8-aligned otherwise. All computation
+    # stays in (rows, cols, feature) 3-D form — Mosaic cannot shape-cast
+    # across the tiled dims.
+    xw = x_ref[0, pl.ds(start, R), :, :]                 # (R, s, C)
+    h = jax.lax.dot_general(
+        xw, w1_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + b1_ref[...].astype(jnp.float32)
+    h = h.astype(dt).astype(jnp.float32)                 # Dense rounding
+    hm = h                                               # (R, s, hidden)
+
+    # Zero-pad one row top+bottom and one col left+right into the VMEM
+    # scratch (dynamic ds indexing is only lowered on refs): with the
+    # clamped window, a pad row is read exactly when the conv window
+    # crosses the map's true edge (off==0 at the top tile, off==2 at the
+    # bottom tile), reproducing conv zero padding with no masks.
+    hp_ref[...] = jnp.pad(hm, ((1, 1), (1, 1), (0, 0)))
+    dw = dw_ref[...].astype(jnp.float32)                 # (3, 3, hidden)
+    acc = jnp.zeros((rows, s, hidden), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            sl = hp_ref[pl.ds(off + di, rows), dj:dj + s, :]
+            acc = acc + sl * dw[di, dj][None, None, :]
+    d = acc + dwb_ref[...].astype(jnp.float32)
+    d = d.astype(dt).astype(jnp.float32)                 # Conv rounding
+
+    h_t = hp_ref[pl.ds(off + 1, rows), 1:1 + s, :]
+    y = d + h_t.astype(dt).astype(jnp.float32)           # (rows, s, hidden)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(y * y, axis=-1, keepdims=True) - mean * mean
+    a = (y - mean) * jax.lax.rsqrt(var + eps)
+    a = a * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
+    a = a.astype(dt)                                     # LN output dtype
+    # erf-GELU. Mosaic has no erf/erfc lowering, so erf is evaluated with
+    # the Abramowitz-Stegun 7.1.26 rational polynomial (max abs error
+    # 1.5e-7 — far below the bf16 output rounding of the XLA path's
+    # exact-erf GELU).
+    af = a.astype(jnp.float32)
+    z = af * (2.0 ** -0.5)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf_z = jnp.sign(z) * erf_abs
+    a = (0.5 * af * (1.0 + erf_z)).astype(dt)
+
+    out = jax.lax.dot_general(
+        a, w2_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + b2_ref[...].astype(jnp.float32)
+    o_ref[0] = out.astype(dt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "hidden", "eps", "interpret"))
+def fused_mixffn_skip(x, w1, b1, dw, dwb, ln_scale, ln_bias, w2, b2, *,
+                      s: int, hidden: int, eps: float = 1e-5,
+                      interpret: bool = False):
+    """x: (B, s², C); w1: (C, hidden); dw: (3, 3, hidden) depthwise;
+    w2: (hidden, C). Returns (B, s², C) = fc2(gelu(LN(dwconv(fc1(x)) +
+    fc1(x))))."""
+    B, N, C = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    rows = _pick_rows(s, C, hidden, itemsize)
+    if rows == 0:
+        raise NotImplementedError("no row tiling fits")
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, s=s, rows=rows, hidden=hidden, eps=eps),
+        grid=(B, s // rows),
+        in_specs=[
+            # Full map per batch; constant in j => fetched once per batch.
+            pl.BlockSpec((1, s, s, C), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, hidden), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, s, C), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, s, s, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 4, s + 2, hidden), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * hidden * 2 + B * N * hidden * 9 * 2,
+            bytes_accessed=2 * B * N * C * itemsize,
+            transcendentals=B * N * hidden,
+        ),
+        interpret=interpret,
+    )(x.reshape(B, s, s, C), w1.astype(x.dtype), b1, dw.astype(x.dtype),
+      dwb, ln_scale, ln_bias, w2.astype(x.dtype), b2)
+    return out.reshape(B, N, C)
