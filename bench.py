@@ -57,8 +57,10 @@ def main():
         jax.random.PRNGKey(0), x, train=False)
 
     def fwd(v, x):
-        return jnp.argmax(model.apply(v, x, train=False),
-                          axis=-1).astype(jnp.uint8)
+        # argmax=True computes the head conv + class argmax pre-shuffle
+        # (exact commutation with the pixel shuffle; kills two measured
+        # layout copies — models/decoder.py argmax_head).
+        return model.apply(v, x, train=False, argmax=True)
 
     compiled = jax.jit(fwd).lower(variables, x).compile()
     ca = compiled.cost_analysis()
@@ -101,10 +103,13 @@ def main():
     implied_mfu = mfu(per_chip)
     measurement_valid = implied_mfu <= 1.0
     if not measurement_valid:
-        # Physically impossible => environment artifact. Report the
-        # roofline cap instead of publishing nonsense.
-        per_chip = peak / flops_per_slice
-        implied_mfu = 1.0
+        # Physically impossible => environment artifact. Report null as
+        # the value (NOT the roofline cap — a synthetic number under a
+        # measured-throughput metric name misleads consumers that ignore
+        # measurement_valid; ADVICE r2). The impossible reading is kept
+        # in its own field for debugging.
+        invalid_reading = per_chip
+        per_chip = None
 
     # p50 per-volume latency (BASELINE north-star row 3): full eval path
     # for a Synapse-like 148-slice 512² volume — host spline resample to
@@ -120,22 +125,63 @@ def main():
     predict = make_predictor(model, variables, 224, batch=32)
     vol = np.random.default_rng(0).random((148, 512, 512)).astype(np.float32)
     # Warm the batch-32 compile + resampler planning out of the timing.
-    _resize_pred_back(predict(_resize_slices_scipy(vol, 224)), 512, 512)
+    _resize_pred_back(predict(_resize_slices_scipy(vol[:33], 224)), 512, 512)
+    # Protocol path as run_inference drives it: chunk-pipelined (host
+    # spline resample overlapped with TPU compute) + index-gather order-0
+    # back-resize. N=5 runs; p50 reported.
     lat = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        sl = (_resize_slices_scipy(vol, 224) - 0.5) / 0.5
-        pred = _resize_pred_back(predict(sl), 512, 512)
+        pred = _resize_pred_back(predict.predict_volume(vol), 512, 512)
         lat.append(time.perf_counter() - t0)
     assert pred.shape == (148, 512, 512)
     p50_volume_latency = sorted(lat)[len(lat) // 2]
 
+    # Training throughput (VERDICT r2 #3): device-trace-measured recipe
+    # train step (bs=24, SGD+cosine, 0.4CE+0.6Dice) so the driver captures
+    # training perf every round, not just inference.
+    train_imgs_per_sec = None
+    train_step_ms = None
+    try:
+        from transception_tpu.core.config import TrainConfig
+        from transception_tpu.train.state import create_train_state
+        from transception_tpu.train.trainer import make_train_step
+        tb = 24
+        tcfg = TrainConfig(batch_size=tb)
+        xt = jnp.zeros((tb, 224, 224, 1), jnp.float32)
+        yt = jnp.zeros((tb, 224, 224), jnp.int32)
+        import dataclasses as _dc
+        train_model = model
+        if cfg.use_pallas and not cfg.use_pallas_train:
+            from transception_tpu.models.transception import MSTransception
+            train_model = MSTransception(_dc.replace(cfg, use_pallas=False))
+        tstate = create_train_state(train_model, tcfg, 92, xt,
+                                    jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(train_model, 9, 0.4, 0.6),
+                       donate_argnums=(0,))
+        tstate, tm = step(tstate, xt, yt, jax.random.PRNGKey(1))
+        jax.block_until_ready(tm)
+
+        holder = {"s": tstate}
+
+        def one_step():
+            holder["s"], m = step(holder["s"], xt, yt, jax.random.PRNGKey(2))
+            return m
+
+        tdev, _ = device_time_per_call(one_step, iters=5)
+        if tdev is not None:
+            train_imgs_per_sec = tb / tdev
+            train_step_ms = tdev * 1e3
+    except Exception:
+        pass
+
     target_per_chip = 5000.0 / 8  # north-star: 5000 on v5e-8
-    print(json.dumps({
+    out = {
         "metric": "synapse_224_inference_slices_per_sec_per_chip",
-        "value": round(per_chip, 2),
+        "value": round(per_chip, 2) if per_chip is not None else None,
         "unit": "slices/sec/chip",
-        "vs_baseline": round(per_chip / target_per_chip, 3),
+        "vs_baseline": (round(per_chip / target_per_chip, 3)
+                        if per_chip is not None else None),
         "flops_per_slice": round(flops_per_slice, 0),
         "implied_mfu": round(implied_mfu, 4),
         "peak_flops_per_chip": peak,
@@ -146,7 +192,14 @@ def main():
         "wall_clock_implied_mfu": round(mfu(
             wall_slices_per_sec / max(len(jax.devices()), 1)), 4),
         "p50_volume_latency_s": round(p50_volume_latency, 3),
-    }))
+        "train_imgs_per_sec_per_chip": (round(train_imgs_per_sec, 2)
+                                        if train_imgs_per_sec else None),
+        "train_step_ms_bs24": (round(train_step_ms, 2)
+                               if train_step_ms else None),
+    }
+    if not measurement_valid:
+        out["invalid_reading_slices_per_sec"] = round(invalid_reading, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -251,6 +251,115 @@ def test_geometric_ops_rgb_share_one_transform():
             assert ol.shape == base.shape  # label stays 2-D
 
 
+# ---- SomeOf((0,4), random_order) composition driver (VERDICT r2 #7) ----
+
+def _instrumented_pipeline(monkeypatch):
+    """Replace every pipeline op with a pass-through that records its
+    index; returns the call log (reset per augment_slice call by caller)."""
+    calls = []
+
+    def make_stub(i):
+        def stub(img, lbl, rng):
+            calls.append(i)
+            return img, lbl
+        return stub
+
+    monkeypatch.setattr(A, "_PIPELINE",
+                        [make_stub(i) for i in range(len(A._PIPELINE))])
+    return calls
+
+
+def test_someof_op_count_distribution(monkeypatch):
+    """The driver must draw k uniformly from {0..4} (imgaug SomeOf((0,4))
+    chooses the op count uniformly) and never apply an op twice."""
+    calls = _instrumented_pipeline(monkeypatch)
+    img = np.zeros((8, 8), np.float32)
+    counts = np.zeros(5, int)
+    trials = 2000
+    for s in range(trials):
+        calls.clear()
+        A.augment_slice(img, img, _rng(s))
+        assert len(set(calls)) == len(calls), "op applied twice"
+        assert len(calls) <= 4
+        counts[len(calls)] += 1
+    p = counts / trials
+    # uniform(1/5) within generous sampling noise
+    assert (np.abs(p - 0.2) < 0.05).all(), p
+
+
+def test_someof_order_randomization(monkeypatch):
+    """random_order=True: when two ops are both selected, both relative
+    orders must occur across seeds, and every op index must be reachable
+    (uniform selection over the 10 ops)."""
+    calls = _instrumented_pipeline(monkeypatch)
+    img = np.zeros((8, 8), np.float32)
+    before = after = 0
+    seen = set()
+    for s in range(3000):
+        calls.clear()
+        A.augment_slice(img, img, _rng(s))
+        seen.update(calls)
+        if 0 in calls and 1 in calls:
+            if calls.index(0) < calls.index(1):
+                before += 1
+            else:
+                after += 1
+    assert seen == set(range(10)), seen
+    total = before + after
+    assert total > 50  # both ops co-selected often enough to test order
+    assert 0.3 < before / total < 0.7, (before, after)
+
+
+def test_composed_pipeline_label_integrity():
+    """Arbitrary real compositions (all 10 ops live) must preserve the
+    label value set (order-0 semantics end-to-end), shape, and finiteness
+    — including RGB inputs."""
+    rng0 = _rng(7)
+    img = rng0.random((48, 48)).astype(np.float32)
+    rgb = rng0.random((48, 48, 3)).astype(np.float32)
+    lbl = rng0.integers(0, 9, (48, 48)).astype(np.float32)
+    allowed = set(np.unique(lbl)) | {0.0}
+    for s in range(60):
+        oi, ol = A.augment_slice(img, lbl, _rng(s))
+        assert oi.shape == img.shape and ol.shape == lbl.shape
+        assert np.isfinite(oi).all()
+        assert set(np.unique(ol)).issubset(allowed)
+        oc, olc = A.augment_slice(rgb, lbl, _rng(s))
+        assert oc.shape == rgb.shape and olc.shape == lbl.shape
+        assert set(np.unique(olc)).issubset(allowed)
+
+
+def test_piecewise_affine_node_grid_semantics():
+    """Pin the sharpened PiecewiseAffine to imgaug's documented defaults
+    (VERDICT r2 #7): a 4x4 grid of control nodes, per-node normal
+    displacement with sigma = scale*(h or w), bilinear field between
+    nodes, inverse-mapped with order-1/order-0. Reconstructs the expected
+    warp from a cloned rng and asserts the op computes exactly that."""
+    from scipy.interpolate import RegularGridInterpolator
+    h = w = 64
+    rng0 = _rng(11)
+    img = rng0.random((h, w)).astype(np.float32)
+    lbl = rng0.integers(0, 5, (h, w)).astype(np.float32)
+
+    got_i, got_l = A.aug_piecewise_affine(img, lbl, _rng(5))
+
+    rng = _rng(5)
+    scale = rng.uniform(0.008, 0.03)
+    node_y = np.linspace(0, h - 1, 4)
+    node_x = np.linspace(0, w - 1, 4)
+    dy_nodes = rng.normal(0, scale * h, (4, 4))
+    dx_nodes = rng.normal(0, scale * w, (4, 4))
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pts = np.stack([yy.ravel(), xx.ravel()], axis=-1)
+    dy = RegularGridInterpolator((node_y, node_x), dy_nodes)(pts).reshape(h, w)
+    dx = RegularGridInterpolator((node_y, node_x), dx_nodes)(pts).reshape(h, w)
+    coords = np.stack([yy + dy, xx + dx])
+    want_i = ndimage.map_coordinates(img, coords, order=1, mode="constant")
+    want_l = ndimage.map_coordinates(lbl, coords, order=0, mode="constant")
+    np.testing.assert_allclose(got_i, want_i, atol=1e-6)
+    np.testing.assert_array_equal(got_l, want_l)
+
+
 # ---- optional cross-library goldens (generated offline with imgaug) ----
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden", "imgaug")

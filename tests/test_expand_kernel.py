@@ -58,11 +58,14 @@ def test_kernel_bf16():
 
 
 def test_eligibility_gate():
-    assert eligible((128, 3136, 64), 64, 64, 4, jnp.bfloat16)
+    assert eligible((128, 3136, 64), 56, 56, 64, 64, 4, jnp.bfloat16)
     # non-square token count
-    assert not eligible((1, 50, 64), 64, 64, 4, jnp.float32)
+    assert not eligible((1, 50, 64), 10, 5, 64, 64, 4, jnp.float32)
     # giant weight
-    assert not eligible((1, 3136, 2048), 2048, 2048, 4, jnp.float32)
+    assert not eligible((1, 3136, 2048), 56, 56, 2048, 2048, 4, jnp.float32)
+    # non-square map whose N *is* a perfect square must be rejected
+    # (ADVICE r2: sqrt(N) inference would wrongly admit 28x112 -> 56x56)
+    assert not eligible((1, 3136, 64), 28, 112, 64, 64, 4, jnp.bfloat16)
 
 
 def test_facade_bwd_matches_autodiff():

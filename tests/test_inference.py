@@ -67,6 +67,36 @@ def test_single_volume_protocol():
         assert 0.0 <= d <= 1.0 and h >= 0.0
 
 
+def test_zoom0_gather_matches_scipy_bitexact():
+    """The index-gather order-0 back-resize must reproduce scipy
+    ndimage.zoom(order=0) bit-exactly, including awkward non-integer
+    ratios and up/down-sampling (the protocol's utils.py:84-87 step)."""
+    from scipy import ndimage
+    from transception_tpu.eval.inference import _resize_pred_back
+    rng = np.random.default_rng(0)
+    for ph, pw, h, w in [(32, 32, 48, 48), (32, 32, 512, 512),
+                         (224, 224, 147, 189), (224, 224, 512, 512),
+                         (17, 23, 61, 37)]:
+        pred = rng.integers(0, 9, (3, ph, pw)).astype(np.uint8)
+        got = _resize_pred_back(pred, h, w)
+        want = np.stack([ndimage.zoom(pred[i], (h / ph, w / pw), order=0)
+                         for i in range(3)])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_pipelined_volume_predict_matches_unpipelined():
+    """predict_volume (chunked resample overlapped with compute) must be
+    numerically identical to resample-all-then-predict."""
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    predict = make_predictor(model, v, cfg.img_size, batch=4)
+    from transception_tpu.eval.inference import _resize_slices_scipy
+    vol = np.random.default_rng(3).random((7, 48, 48)).astype(np.float32)
+    want = predict((_resize_slices_scipy(vol, cfg.img_size) - 0.5) / 0.5)
+    got = predict.predict_volume(vol)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_device_predictor_serving_path():
     from transception_tpu.eval.inference import make_device_predictor
     cfg = tiny_config()

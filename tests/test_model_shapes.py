@@ -41,6 +41,25 @@ def test_default_forward_shape():
     assert out.dtype == jnp.float32
 
 
+def test_fused_argmax_head_matches_logits_argmax():
+    """argmax=True (head conv + argmax before the pixel shuffle) must be
+    bit-identical to argmax of the logits path — the 1x1 conv and the
+    per-pixel argmax commute with the shuffle permutation exactly."""
+    import numpy as np
+    model = MSTransception(TINY)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, x)
+    want = np.asarray(jnp.argmax(logits, axis=-1), np.uint8)
+    got = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False, argmax=True))(v, x))
+    assert got.dtype == np.uint8
+    assert got.shape == (2, 32, 32)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_gray_and_rgb_inputs_match_api():
     out1, _ = _init_and_run(TINY, in_ch=1)
     out3, _ = _init_and_run(TINY, in_ch=3)

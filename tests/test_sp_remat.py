@@ -119,6 +119,23 @@ def test_sp_no_involuntary_replication(cpu_mesh):
     assert sp < base * 0.999, (sp, base)
 
 
+def test_bridge_barrier_rejects_non_divisible_batch(cpu_mesh):
+    """The bridge's batch-only sharding barrier guards a known GSPMD
+    silent-corruption bug; a mesh whose data axis does not divide the
+    batch cannot be barriered, so it must be rejected loudly instead of
+    silently dropping the guard (ADVICE r2 medium)."""
+    import pytest
+
+    cfg = tiny_config()
+    x = jnp.asarray(np.random.default_rng(0).random((6, 32, 32, 1)),
+                    jnp.float32)  # 6 % 4 != 0 on the 4x2 mesh
+    model = MSTransception(cfg)
+    with jax.set_mesh(cpu_mesh):
+        with pytest.raises(ValueError, match="divisible"):
+            jax.jit(model.init, static_argnames=("train",))(
+                jax.random.PRNGKey(0), x, train=False)
+
+
 def test_remat_forward_and_grads_match():
     """remat=True (jax.checkpoint on encoder stages) recomputes activations
     but must match remat=False forward and grads."""

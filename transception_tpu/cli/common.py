@@ -85,6 +85,14 @@ def add_train_args(p: argparse.ArgumentParser):
                    help="capture a jax.profiler trace of the first steps")
 
 
+def setup_jax_cache(path: str = "/tmp/jax_cache"):
+    """Enable the persistent compilation cache: cold 224 fwd+bwd compiles
+    are ~10 min through the TPU tunnel, cached reruns are seconds — which
+    also makes kill/auto-resume cycles cheap."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+
+
 def build_configs(args):
     num_classes = 2 if args.dataset.lower() == "isic" else args.num_classes
     num_layers = tuple(int(v) for v in

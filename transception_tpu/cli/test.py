@@ -68,10 +68,12 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+    from transception_tpu.cli.common import setup_jax_cache
     from transception_tpu.data.synapse import make_test_dataset
     from transception_tpu.eval.inference import run_inference
     from transception_tpu.models.registry import create_model
 
+    setup_jax_cache()
     model_cfg, data_cfg, _ = build_configs(args)
     model = create_model(args.model, model_cfg)
 
@@ -96,7 +98,8 @@ def main(argv=None):
     if data_cfg.dataset == "isic":
         from transception_tpu.data.isic import dice_eval
         mean_dice = dice_eval(model, variables, test_ds, args.img_size,
-                              batch=args.eval_batch, log=logging.info)
+                              batch=args.eval_batch, log=logging.info,
+                              save_path=save_dir)
         mean_hd95 = 0.0
     else:
         hd95_spacing = ((float(args.z_spacing), 1.0, 1.0)

@@ -34,9 +34,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+    from transception_tpu.cli.common import setup_jax_cache
     from transception_tpu.models.registry import create_model
     from transception_tpu.train.trainer import Trainer
 
+    setup_jax_cache()
     model_cfg, data_cfg, train_cfg = build_configs(args)
     model = create_model(args.model, model_cfg)
 

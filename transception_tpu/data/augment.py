@@ -110,17 +110,37 @@ def aug_affine_translate(img, lbl, rng, frac=0.2):
 
 
 def aug_piecewise_affine(img, lbl, rng, scale_lo=0.008, scale_hi=0.03,
-                         grid=4):
-    """Coarse random displacement field, bicubically upsampled, applied via
-    map_coordinates — the standard piecewise/elastic approximation."""
+                         nb_rows=4, nb_cols=4):
+    """imgaug PiecewiseAffine semantics (its documented default is a
+    4x4 grid of control points): each grid node is independently jittered
+    by a normal displacement with sigma = scale * image_size (dy by
+    scale*h, dx by scale*w), and the displacement field between nodes is
+    piecewise-interpolated; the warp is applied as an inverse coordinate
+    map (order-1 image / order-0 label, like the segmap path).
+
+    Documented divergences from imgaug's exact implementation (which fits
+    a skimage PiecewiseAffineTransform on the jittered points): (a) the
+    field between nodes is interpolated bilinearly per cell rather than
+    affinely per Delaunay triangle, and (b) the inverse map is
+    approximated by negating the forward node displacements instead of
+    fitting the inverse transform — both are O(scale)-small at the
+    pipeline's scale range (<=0.03) and train-only (no eval-parity
+    impact). The node displacement DISTRIBUTION itself (per-node normal,
+    4x4 grid, sigma=scale*size) matches imgaug exactly by construction."""
+    from scipy.interpolate import RegularGridInterpolator
     h, w = img.shape[:2]
     scale = rng.uniform(scale_lo, scale_hi)
-    dy = rng.normal(0, scale * h, (grid + 2, grid + 2))
-    dx = rng.normal(0, scale * w, (grid + 2, grid + 2))
-    dy = ndimage.zoom(dy, (h / dy.shape[0], w / dy.shape[1]), order=3)
-    dx = ndimage.zoom(dx, (h / dx.shape[0], w / dx.shape[1]), order=3)
+    node_y = np.linspace(0, h - 1, nb_rows)
+    node_x = np.linspace(0, w - 1, nb_cols)
+    dy_nodes = rng.normal(0, scale * h, (nb_rows, nb_cols))
+    dx_nodes = rng.normal(0, scale * w, (nb_rows, nb_cols))
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    coords = np.stack([yy + dy[:h, :w], xx + dx[:h, :w]])
+    pts = np.stack([yy.ravel(), xx.ravel()], axis=-1)
+    dy = RegularGridInterpolator((node_y, node_x), dy_nodes,
+                                 method="linear")(pts).reshape(h, w)
+    dx = RegularGridInterpolator((node_y, node_x), dx_nodes,
+                                 method="linear")(pts).reshape(h, w)
+    coords = np.stack([yy + dy, xx + dx])
     if img.ndim == 3:
         out_img = np.stack(
             [ndimage.map_coordinates(img[..., c], coords, order=1,

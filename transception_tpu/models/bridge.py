@@ -39,14 +39,24 @@ def _dense(f, name, dtype, use_bias=True):
 def _batch_only_sharding(t):
     """Constrain a (B, ...) tensor to batch-only (data-axis) sharding when
     a mesh is active — a resharding barrier that keeps token/channel
-    shardings out of SPMD-fragile regions. No-op without a mesh."""
+    shardings out of SPMD-fragile regions (known GSPMD silent-corruption
+    bugs, see MEfficientChannelAtten / BridgeLayer4). No-op without a
+    mesh; a mesh whose data axis does NOT divide the batch cannot be
+    barriered this way, so it is rejected loudly instead of silently
+    dropping the guard (ADVICE r2 medium)."""
     from transception_tpu.parallel.mesh import DATA_AXIS
     from jax.sharding import PartitionSpec as P
     sz = _mesh_axis_size(DATA_AXIS)
-    if sz > 0 and t.shape[0] % max(sz, 1) == 0:
-        spec = P(DATA_AXIS, *([None] * (t.ndim - 1)))
-        return jax.lax.with_sharding_constraint(t, spec)
-    return t
+    if sz <= 1:
+        return t
+    if t.shape[0] % sz != 0:
+        raise ValueError(
+            f"bridge sharding barrier requires batch ({t.shape[0]}) "
+            f"divisible by mesh '{DATA_AXIS}' axis ({sz}); without the "
+            "barrier a known GSPMD miscompile silently corrupts logits. "
+            "Pad the batch or resize the mesh.")
+    spec = P(DATA_AXIS, *([None] * (t.ndim - 1)))
+    return jax.lax.with_sharding_constraint(t, spec)
 
 
 def _mesh_axis_size(axis: str) -> int:

@@ -27,7 +27,12 @@ class MSTransception(nn.Module):
     cfg: TransceptionConfig = TransceptionConfig()
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, argmax: bool = False):
+        """argmax=True (inference only): return (B, H, W) uint8 class ids
+        instead of logits, with the head conv + argmax computed BEFORE the
+        final pixel shuffle (they commute with it exactly; kills the two
+        measured-expensive (B, N, 16·dim) layout copies — see
+        DecoderLayer.argmax_head). Same params either way."""
         cfg = self.cfg
         dt = cfg.compute_dtype
         if x.shape[-1] == 1:
@@ -83,5 +88,6 @@ class MSTransception(nn.Module):
         logits = DecoderLayer(ins[3], d[0], token_mlp=cfg.token_mlp,
                               n_class=cfg.num_classes, is_last=True,
                               use_pallas=cfg.use_pallas, dtype=dt,
-                              name="decoder_0")(t1, enc[0])
+                              name="decoder_0")(t1, enc[0],
+                                                argmax_head=argmax)
         return logits

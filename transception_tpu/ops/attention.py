@@ -144,7 +144,7 @@ class EfficientTransformerBlock(nn.Module):
         x = x + h
         h = LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = make_ffn(self.token_mlp, self.dim, self.dim * 4, self.dtype,
-                     "mlp")(h, H, W)
+                     "mlp", use_pallas=self.use_pallas)(h, H, W)
         return x + h
 
 

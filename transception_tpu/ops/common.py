@@ -181,12 +181,14 @@ class MLPFFN(nn.Module):
         return nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
 
 
-def make_ffn(token_mlp: str, dim: int, hidden: int, dtype, name: str):
+def make_ffn(token_mlp: str, dim: int, hidden: int, dtype, name: str,
+             use_pallas: bool = False):
     """FFN factory matching the token_mlp switch (MSTr.py:157-162)."""
     if token_mlp == "mix":
         return MixFFN(dim, hidden, dtype=dtype, name=name)
     if token_mlp == "mix_skip":
-        return MixFFNSkip(dim, hidden, dtype=dtype, name=name)
+        return MixFFNSkip(dim, hidden, use_pallas=use_pallas, dtype=dtype,
+                          name=name)
     return MLPFFN(dim, hidden, dtype=dtype, name=name)
 
 
@@ -246,21 +248,33 @@ class _LNParams(nn.Module):
 
 
 def _expand_epilogue(x, H, W, p, dim_out_c, expand_features, token_c,
-                     dtype, use_pallas, barrier=False):
+                     dtype, use_pallas, barrier=False, pre_shuffle=False):
     """Shared body of PatchExpand/FinalPatchExpandX4: Dense(expand) ->
     LN(norm) -> pixel shuffle, either as the fused Pallas epilogue
     (ops/pallas/expand_kernel.py — the decoder head's XLA lowering cost
-    ~16.6 ms of a 144 ms b=128 forward) or the plain XLA chain."""
+    ~16.6 ms of a 144 ms b=128 forward) or the plain XLA chain.
+
+    pre_shuffle=True returns the normalized expansion in PRE-shuffle token
+    order (B, N, p², c): per-pixel consumers that commute with the pixel
+    shuffle (the decoder's 1x1 head conv + argmax) can run on this layout
+    and skip the two (B, N, p²c) layout copies (measured 2.59 + 2.49 ms of
+    the b=128 forward)."""
     B, N, C = x.shape
     c = token_c
+    y = None
     if use_pallas:
         from transception_tpu.ops.pallas.patch_expand import (
             can_fuse,
             fused_expand,
+            fused_expand_pre_shuffle,
         )
-        if can_fuse(x.shape, C, c, p, x.dtype):
+        if can_fuse(x.shape, H, W, C, c, p, x.dtype):
             w = _DenseKernelParam((C, expand_features), name="expand")()
             scale, bias = _LNParams(c, name="norm")()
+            if pre_shuffle:
+                return fused_expand_pre_shuffle(
+                    x.astype(dtype), w, scale, bias, H=H, W=W, p=p, c=c
+                ).reshape(B, N, p * p, c)
             return fused_expand(x.astype(dtype), w, scale, bias,
                                 H=H, W=W, p=p, c=c)
     y = nn.Dense(expand_features, use_bias=False, dtype=dtype,
@@ -274,6 +288,8 @@ def _expand_epilogue(x, H, W, p, dim_out_c, expand_features, token_c,
         y = fwd_only_barrier(y)
     y = LayerNorm(dtype=dtype, name="norm")(
         y.reshape(B, p * p * N, c))
+    if pre_shuffle:
+        return y.reshape(B, N, p * p, c)
     y = y.reshape(B, H, W, p, p, c)
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, p * p * H * W, c)
 
@@ -307,10 +323,10 @@ class FinalPatchExpandX4(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, H: int, W: int):
+    def __call__(self, x, H: int, W: int, pre_shuffle: bool = False):
         return _expand_epilogue(x, H, W, 4, self.dim, 16 * self.dim,
                                 self.dim, self.dtype, self.use_pallas,
-                                barrier=True)
+                                barrier=True, pre_shuffle=pre_shuffle)
 
 
 class ConvPosEnc(nn.Module):

@@ -46,16 +46,19 @@ def _pick_rows(H: int, W: int, c: int, p: int, itemsize: int) -> int:
     return 0
 
 
-def eligible(x_shape, in_c: int, out_c: int, p: int, dtype) -> bool:
+def eligible(x_shape, H: int, W: int, in_c: int, out_c: int, p: int,
+             dtype) -> bool:
+    """Gate on the caller's REAL (H, W) — not sqrt(N), which would wrongly
+    admit a non-square map whose N happens to be a perfect square
+    (ADVICE r2)."""
     B, N, C = x_shape
-    H = int(round(N ** 0.5))
-    if H * H != N or C != in_c:
+    if H != W or H * W != N or C != in_c:
         return False
     itemsize = jnp.dtype(dtype).itemsize
     w_bytes = in_c * p * p * out_c * itemsize
     if w_bytes > 4 * 1024 * 1024:
         return False
-    return _pick_rows(H, H, out_c, p, itemsize) > 0
+    return _pick_rows(H, W, out_c, p, itemsize) > 0
 
 
 def _kernel(x_ref, w_ref, g_ref, gt_ref, scale_ref, bias_ref, o_ref, *,

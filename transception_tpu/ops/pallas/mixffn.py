@@ -44,7 +44,10 @@ def _reference_impl(x, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden, eps):
         feature_group_count=hidden,
         preferred_element_type=jnp.float32)
     d = (d + dwb.astype(jnp.float32)).astype(dt).reshape(B, N, hidden)
-    y = (d + h).astype(jnp.float32)
+    # Skip-add in fp32 on the *rounded* terms — exactly what the kernel
+    # computes (mixffn_kernel.py:102) — so the VJP differentiates the same
+    # function the fused forward evaluated (ADVICE r2).
+    y = d.astype(jnp.float32) + h.astype(jnp.float32)
     mean = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean(y * y, axis=-1, keepdims=True) - mean * mean
     a = (y - mean) * jax.lax.rsqrt(var + eps)

@@ -24,11 +24,12 @@ def _target_platform() -> str:
     return jax.default_backend()
 
 
-def can_fuse(x_shape, in_c: int, out_c: int, p: int, dtype) -> bool:
+def can_fuse(x_shape, H: int, W: int, in_c: int, out_c: int, p: int,
+             dtype) -> bool:
     if _target_platform() != "tpu":
         return False
     from transception_tpu.ops.pallas import expand_kernel as ek
-    return ek.eligible(x_shape, in_c, out_c, p, dtype)
+    return ek.eligible(x_shape, H, W, in_c, out_c, p, dtype)
 
 
 def _reference_impl(x, w, scale, bias, H, W, p, c, eps):
@@ -79,3 +80,47 @@ def fused_expand(x, w, scale, bias, H: int, W: int, p: int, c: int,
                  eps: float = 1e-5):
     """Fused Dense->LN->pixel-shuffle; call can_fuse() first."""
     return _fused(x, w, scale, bias, H, W, p, c, eps)
+
+
+def _reference_pre_shuffle(x, w, scale, bias, p, c, eps):
+    """XLA mirror of the kernel output WITHOUT the pixel shuffle."""
+    B, N, C = x.shape
+    y = jax.lax.dot_general(
+        x, w.astype(x.dtype), dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    yf = y.astype(jnp.float32).reshape(B, N * p * p, c)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) - jnp.square(mean)
+    yn = (yf - mean) * jax.lax.rsqrt(var + eps)
+    yn = yn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return yn.astype(x.dtype).reshape(B, N, p * p * c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_pre(x, w, scale, bias, H, W, p, c, eps):
+    from transception_tpu.ops.pallas import expand_kernel as ek
+    return ek.fused_patch_expand(x, w, scale, bias, H=H, W=W, p=p, c=c,
+                                 eps=eps)
+
+
+def _fused_pre_fwd(x, w, scale, bias, H, W, p, c, eps):
+    return _fused_pre(x, w, scale, bias, H, W, p, c, eps), (x, w, scale, bias)
+
+
+def _fused_pre_bwd(H, W, p, c, eps, res, g):
+    x, w, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, s_, b_: _reference_pre_shuffle(x_, w_, s_, b_, p, c,
+                                                      eps), x, w, scale, bias)
+    return vjp(g)
+
+
+_fused_pre.defvjp(_fused_pre_fwd, _fused_pre_bwd)
+
+
+def fused_expand_pre_shuffle(x, w, scale, bias, H: int, W: int, p: int,
+                             c: int, eps: float = 1e-5):
+    """Fused Dense->LN, returned in PRE-shuffle token order (B, N, p²·c):
+    the kernel's native output, with no XLA layout copies. For consumers
+    that commute with the pixel shuffle (1x1 head conv + argmax)."""
+    return _fused_pre(x, w, scale, bias, H, W, p, c, eps)

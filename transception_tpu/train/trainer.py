@@ -57,6 +57,30 @@ def reference_eval_schedule(epoch: int, max_epoch: int, eval_interval: int,
     return save, evaluate
 
 
+def assemble_global_batch(batch, data_shard, global_batch_size: int,
+                          multihost: bool):
+    """Device-place one loader batch as (images, labels).
+
+    Single-host: a plain device_put with the batch sharding. Multi-host DP:
+    each host holds its contiguous 1/process_count shard of the global
+    batch (HostDataLoader slicing) and the global jax.Array is assembled
+    from process-local data — the TPU-native replacement for
+    DataParallel's scatter (trainer.py:110-111). Extracted from the train
+    loop so multi-host semantics are testable with real process counts
+    (tests/test_multihost.py)."""
+    if multihost:
+        gb_img = (global_batch_size,) + batch["image"].shape[1:]
+        gb_lbl = (global_batch_size,) + batch["label"].shape[1:]
+        images = jax.make_array_from_process_local_data(
+            data_shard, batch["image"], gb_img)
+        labels = jax.make_array_from_process_local_data(
+            data_shard, batch["label"], gb_lbl)
+    else:
+        images = jax.device_put(batch["image"], data_shard)
+        labels = jax.device_put(batch["label"], data_shard)
+    return images, labels
+
+
 def make_train_step(model, num_classes: int, ce_w: float, dice_w: float):
     def loss_fn(params, batch_stats, images, labels, dropout_rng):
         outs, updates = model.apply(
@@ -250,17 +274,8 @@ class Trainer:
             loader.set_epoch(epoch)
             multihost = jax.process_count() > 1
             for batch in loader:
-                if multihost:
-                    # Each host holds its shard of the global batch.
-                    gb = (cfg.batch_size,) + batch["image"].shape[1:]
-                    images = jax.make_array_from_process_local_data(
-                        data_shard, batch["image"], gb)
-                    labels = jax.make_array_from_process_local_data(
-                        data_shard, batch["label"],
-                        (cfg.batch_size,) + batch["label"].shape[1:])
-                else:
-                    images = jax.device_put(batch["image"], data_shard)
-                    labels = jax.device_put(batch["label"], data_shard)
+                images, labels = assemble_global_batch(
+                    batch, data_shard, cfg.batch_size, multihost)
                 rng, drop = jax.random.split(rng)
                 state, metrics = step_fn(state, images, labels, drop)
                 it += 1
