@@ -153,8 +153,11 @@ def main():
         import dataclasses as _dc
         train_model = model
         if cfg.use_pallas and not cfg.use_pallas_train:
+            # Mirror Trainer: XLA everywhere except the bridge attention,
+            # which has a real Pallas backward.
             from transception_tpu.models.transception import MSTransception
-            train_model = MSTransception(_dc.replace(cfg, use_pallas=False))
+            train_model = MSTransception(_dc.replace(
+                cfg, use_pallas=False, bridge_use_pallas=True))
         tstate = create_train_state(train_model, tcfg, 92, xt,
                                     jax.random.PRNGKey(0))
         step = jax.jit(make_train_step(train_model, 9, 0.4, 0.6),

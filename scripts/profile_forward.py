@@ -110,7 +110,8 @@ def main():
         from transception_tpu.core.config import TrainConfig
         from transception_tpu.train.state import create_train_state
         from transception_tpu.train.trainer import make_train_step
-        tmodel = MSTransception(_dc.replace(cfg, use_pallas=False)) \
+        tmodel = MSTransception(_dc.replace(cfg, use_pallas=False,
+                                            bridge_use_pallas=True)) \
             if cfg.use_pallas and not cfg.use_pallas_train else model
         y = jnp.zeros((batch, 224, 224), jnp.int32)
         state = create_train_state(tmodel, TrainConfig(batch_size=batch),

@@ -71,6 +71,40 @@ def test_vmem_gate():
         bridge_softmax_attention(q, k, k, scale=1.0, interpret=True)
 
 
+@pytest.mark.parametrize("shape", [
+    (2, 1, 124, 28, 64),   # non-tile-multiple N: pad path, zero-g rows
+    (1, 1, 600, 96, 64),
+    (1, 2, 512, 128, 32),  # N divisible by tile
+])
+def test_bwd_kernel_matches_autodiff(shape):
+    """The flash-style Pallas backward (interpret mode) must match
+    autodiff through the XLA reference for all of dq/dk/dv, including
+    the padded-N path (zero-padded g rows contribute nothing)."""
+    from transception_tpu.ops.pallas.bridge_attention_kernel import (
+        bridge_softmax_attention_bwd,
+    )
+    B, h, N, M, d = shape
+    q = _rand((B, h, N, d), 7)
+    k = _rand((B, h, M, d), 8)
+    v = _rand((B, h, M, d), 9)
+    g = _rand((B, h, N, d), 10)
+    scale = d ** -0.5
+
+    def ref_fn(q, k, v):
+        return _xla_reference(q, k, v, scale)
+
+    _, ref_vjp = jax.vjp(ref_fn, q, k, v)
+    dq_ref, dk_ref, dv_ref = ref_vjp(g)
+    dq, dk, dv = bridge_softmax_attention_bwd(q, k, v, g, scale=scale,
+                                              interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_facade_gradients_match_xla():
     """The custom-VJP facade's backward must equal autodiff through the
     XLA reference (CPU: facade returns None, so compare the VJP fns

@@ -43,6 +43,73 @@ def test_kernel_matches_reference(H, C, p, c):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("H,p,c,ncls", [
+    (8, 4, 64, 9),     # tiny decoder-head geometry
+    (8, 4, 64, 2),     # ISIC binary head
+])
+def test_argmax_kernel_matches_reference(H, p, c, ncls):
+    """Fused expand+LN+head+argmax == argmax of (reference expand ->
+    fp32 head) in pre-shuffle order."""
+    from transception_tpu.ops.pallas.expand_kernel import (
+        fused_patch_expand_argmax,
+    )
+    C = c
+    x = _rand((2, H * H, C), 0)
+    w = _rand((C, p * p * c), 1)
+    scale = _rand((c,), 2) * 0.1 + 1.0
+    bias = _rand((c,), 3) * 0.1
+    hw = _rand((c, ncls), 4)
+    hb = _rand((ncls,), 5) * 0.1
+    got = fused_patch_expand_argmax(x, w, scale, bias, hw, hb, H=H, W=H,
+                                    p=p, c=c, n_class=ncls, interpret=True)
+    # reference: pre-shuffle LN output -> fp32 head -> argmax
+    y = fused_patch_expand(x, w, scale, bias, H=H, W=H, p=p, c=c,
+                           interpret=True)
+    y = y.reshape(2, H * H, p * p, c)
+    logits = y.astype(jnp.float32) @ hw + hb
+    want = jnp.argmax(logits, axis=-1)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(want, np.int32))
+
+
+def test_decoder_argmax_kernel_branch_matches_conv_branch():
+    """DecoderLayer's fused argmax-kernel branch must produce the same
+    class ids as the conv+argmax composition (forced via monkeypatched
+    can_fuse; interpret-mode kernels on CPU)."""
+    import transception_tpu.models.decoder as dec
+    import transception_tpu.ops.pallas.patch_expand as pe
+    import transception_tpu.ops.pallas.expand_kernel as ek
+    from transception_tpu.models.decoder import DecoderLayer
+    import functools as ft
+
+    H = 8
+    layer = DecoderLayer(32, 64, n_class=9, is_last=True, use_pallas=True,
+                         dtype=jnp.bfloat16)  # the kernel branch is bf16-only
+    x1 = _rand((2, H * H, 32), 0)
+    x2 = _rand((2, H, H, 32), 1)
+    v = layer.init(jax.random.PRNGKey(0), x1, x2)
+
+    orig_fuse = pe.can_fuse
+    orig_kernel_a = ek.fused_patch_expand_argmax
+    orig_kernel_e = ek.fused_patch_expand
+    pe.can_fuse = lambda *a, **k: True
+    ek.fused_patch_expand_argmax = ft.partial(orig_kernel_a, interpret=True)
+    ek.fused_patch_expand = ft.partial(orig_kernel_e, interpret=True)
+    try:
+        got = layer.apply(v, x1, x2, argmax_head=True)
+    finally:
+        pe.can_fuse = orig_fuse
+        ek.fused_patch_expand_argmax = orig_kernel_a
+        ek.fused_patch_expand = orig_kernel_e
+    # composition path: XLA pre-shuffle expand + conv + argmax
+    want = np.asarray(layer.apply(v, x1, x2, argmax_head=True), np.uint8)
+    assert got.shape == want.shape
+    # fp32 head accumulation order differs (dot vs conv); allow a tiny
+    # tie-flip fraction on random data.
+    mismatch = (np.asarray(got) != want).mean()
+    assert mismatch < 1e-3, mismatch
+
+
 def test_kernel_bf16():
     H, C, p, c = 8, 64, 4, 64
     x = _rand((1, H * H, C), 0, jnp.bfloat16)

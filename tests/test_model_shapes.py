@@ -60,6 +60,27 @@ def test_fused_argmax_head_matches_logits_argmax():
     np.testing.assert_array_equal(got, want)
 
 
+def test_padded_bridge_stream_matches_unpadded():
+    """use_pallas=True pads the bridge token stream to the attention
+    kernel's 512-row tile (BridgeBlock4); on CPU the kernels fall back to
+    XLA but the padding restructure still runs — logits must be
+    bit-identical to the unpadded use_pallas=False graph (tail tokens
+    must never leak into real outputs). At the tiny 124-token geometry
+    the pad is 388 junk rows, a much harsher test than the real 6076->
+    6144."""
+    import numpy as np
+    cfg_pad = dataclasses.replace(TINY, use_pallas=True)
+    model = MSTransception(TINY)
+    model_pad = MSTransception(cfg_pad)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    base = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, x)
+    padded = jax.jit(lambda v, x: model_pad.apply(v, x, train=False))(v, x)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(padded))
+
+
 def test_gray_and_rgb_inputs_match_api():
     out1, _ = _init_and_run(TINY, in_ch=1)
     out3, _ = _init_and_run(TINY, in_ch=3)

@@ -136,6 +136,38 @@ def test_bridge_barrier_rejects_non_divisible_batch(cpu_mesh):
                 jax.random.PRNGKey(0), x, train=False)
 
 
+def test_padded_bridge_grads_match_unpadded():
+    """use_pallas=True pads the bridge token stream (BridgeBlock4); tail
+    rows must not leak into gradients either — grads of the same loss
+    through the padded and unpadded graphs must match (CPU: kernels fall
+    back to XLA, so the only difference is the padding restructure)."""
+    cfg = tiny_config()
+    cfg_pad = dataclasses.replace(cfg, use_pallas=True)
+    x, _ = _batch(9)
+    model = MSTransception(cfg)
+    model_pad = MSTransception(cfg_pad)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+
+    def loss(m):
+        def f(params, batch_stats, x):
+            o, _ = m.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(7)})
+            return jnp.mean((o - 1.0) ** 2)
+        return f
+
+    g = jax.jit(jax.grad(loss(model)))(v["params"], v["batch_stats"], x)
+    g_pad = jax.jit(jax.grad(loss(model_pad)))(v["params"],
+                                               v["batch_stats"], x)
+    flat = jax.tree_util.tree_leaves(g)
+    flat_pad = jax.tree_util.tree_leaves(g_pad)
+    assert len(flat) == len(flat_pad)
+    for a, b in zip(flat, flat_pad):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_remat_forward_and_grads_match():
     """remat=True (jax.checkpoint on encoder stages) recomputes activations
     but must match remat=False forward and grads."""

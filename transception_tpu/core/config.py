@@ -111,6 +111,13 @@ class TransceptionConfig:
     # v5e, r2). Inference keeps the kernels. Flip when Pallas backward
     # kernels land.
     use_pallas_train: bool = False
+    # Overrides use_pallas for the BRIDGE only (None => follow
+    # use_pallas). The trainer sets this when building the train-step
+    # model so the bridge attention — the one op with a real flash-style
+    # Pallas backward (ops/pallas/bridge_attention_kernel.py) — keeps its
+    # kernels in training while the other ops (whose custom-VJP backwards
+    # lose to XLA's joint fwd+bwd) fall back.
+    bridge_use_pallas: object = None  # Optional[bool]
     # Execute the num_path MHCA encoders of each stage as one vmapped
     # (path-stacked-params) call instead of sequentially — same math,
     # measured +14% inference / +81% training on v5e. Changes the param

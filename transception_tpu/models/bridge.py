@@ -276,6 +276,14 @@ class BridgeLayer4(nn.Module):
             # confines the sequence sharding to this layer's interior.
             inputs = _batch_only_sharding(inputs)
         B, N, C = inputs.shape
+        # N may exceed geo.total: BridgeBlock4 pads the token stream once
+        # for a run of spatial-attention layers so the fused attention
+        # kernel needs no per-layer XLA pad of Q (each pad is a measured
+        # ~0.6 ms copy of the 100 MB stream at b=128). All real
+        # computations below address tokens by geo offsets (< geo.total),
+        # so the tail rows never influence real outputs: LN is row-wise,
+        # attention rows are independent, ScaleReduce and the per-scale
+        # FFNs read geo.split slices only.
         h = LayerNorm(dtype=self.dtype, name="norm1")(inputs)
         if self.ch_att:
             a = MEfficientChannelAtten(C, self.head,
@@ -317,6 +325,11 @@ class BridgeLayer4(nn.Module):
             f = MixFFNSkip(C * mult, C * mult * 4, dtype=self.dtype,
                            name=f"mixffn{i + 1}")(t, s, s)
             ffn_outs.append(f.reshape(B, -1, C))
+        if N > geo.total:
+            # Zero tail keeps the padded stream's shape; a broadcast write
+            # into the concat buffer, not a pad-copy of the 100 MB stream.
+            ffn_outs.append(jnp.zeros((B, N - geo.total, C),
+                                      ffn_outs[0].dtype))
         out = tx1 + jnp.concatenate(ffn_outs, axis=1)
         if self.seq_shard_axis:
             out = _batch_only_sharding(out)  # barrier (see above)
@@ -338,14 +351,37 @@ class BridgeBlock4(nn.Module):
 
     @nn.compact
     def __call__(self, maps: Sequence[jnp.ndarray]):
+        # Pad the fused token stream ONCE (to the attention kernel's
+        # 512-row tile) for each run of spatial-attention layers, instead
+        # of XLA padding Q inside every layer (~0.6 ms per pad at b=128).
+        # Channel-attention layers must see the UNPADDED stream: their raw
+        # (B, N, C)->(B, C, N) reshape (MSTr.py:2312-2314) would mix tail
+        # tokens into every channel row. Real outputs are bit-identical —
+        # all real computation addresses tokens by geo offsets; the tail
+        # carries finite garbage that is sliced away at the end
+        # (tests/test_sp_remat.py + padded-parity test guard this).
+        geo = self.geo
+        tile = 512
+        pad_to = -(-geo.total // tile) * tile if self.use_pallas else geo.total
         x = maps
+        padded = False
         for i, ch_att in enumerate(self.br_ch_att_list):
-            x = BridgeLayer4(self.geo, self.head, ch_att,
+            if isinstance(x, (list, tuple)):
+                x = fuse_scales(x, geo.c)
+            if ch_att and padded:
+                x = x[:, :geo.total, :]
+                padded = False
+            elif not ch_att and not padded and pad_to > geo.total:
+                x = jnp.pad(x, ((0, 0), (0, pad_to - geo.total), (0, 0)))
+                padded = True
+            x = BridgeLayer4(geo, self.head, ch_att,
                              self.reduction_ratio,
                              seq_shard_axis=self.seq_shard_axis,
                              use_pallas=self.use_pallas,
                              dtype=self.dtype,
                              name=f"bridge_layer{i + 1}")(x)
+        if padded:
+            x = x[:, :geo.total, :]
         return split_scales(x, self.geo)
 
 

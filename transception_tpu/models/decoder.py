@@ -71,9 +71,72 @@ class DecoderLayer(nn.Module):
         if self.is_last:
             p = 4
             if argmax_head:
-                # (B, N, p², c) pre-shuffle; 1x1 conv applies per c-vector
-                # so the (N, p²) axes act as spatial dims — identical
-                # params to the post-shuffle conv below.
+                from transception_tpu.ops.pallas.patch_expand import (
+                    can_fuse,
+                    fused_expand_argmax,
+                )
+                from transception_tpu.ops.common import (
+                    _DenseKernelParam,
+                    _LNParams,
+                )
+                C_in = t.shape[-1]
+                # bf16 models only: the in-kernel fp32 head dot has a
+                # different accumulation order than XLA's conv, so exact
+                # fp32-resolution argmax ties may differ — the fp32
+                # protocol eval path keeps the bit-exact conv+argmax
+                # composition below.
+                if self.use_pallas and self.dtype == jnp.bfloat16 and \
+                        can_fuse(t.shape, H, W, C_in,
+                                 self.out_dim, p, t.dtype):
+                    # Whole epilogue in ONE kernel: expand + grouped LN +
+                    # fp32 head + argmax. HBM sees only p² ints/token —
+                    # no (B, N, p²c) layout copy, no logits tensor.
+                    class _ExpandParams(nn.Module):
+                        in_c: int
+                        feats: int
+                        c: int
+
+                        @nn.compact
+                        def __call__(self):
+                            w = _DenseKernelParam((self.in_c, self.feats),
+                                                  name="expand")()
+                            s, b = _LNParams(self.c, name="norm")()
+                            return w, s, b
+
+                    class _HeadParams(nn.Module):
+                        c: int
+                        n: int
+
+                        @nn.compact
+                        def __call__(self):
+                            k = self.param("kernel", xavier,
+                                           (1, 1, self.c, self.n),
+                                           jnp.float32)
+                            b = self.param("bias", nn.initializers.zeros,
+                                           (self.n,), jnp.float32)
+                            return k, b
+
+                    w, ls, lb = _ExpandParams(
+                        C_in, 16 * self.out_dim, self.out_dim,
+                        name="layer_up")()
+                    hw, hb = _HeadParams(self.out_dim, self.n_class,
+                                         name="last_layer")()
+                    ids = fused_expand_argmax(
+                        t.astype(self.dtype), w, ls, lb,
+                        hw.reshape(self.out_dim, self.n_class), hb,
+                        H=H, W=W, p=p, c=self.out_dim,
+                        n_class=self.n_class)
+                    cls = ids.astype(jnp.uint8).reshape(
+                        B, H, W, p, p).transpose(0, 1, 3, 2, 4)
+                    return cls.reshape(B, p * H, p * W)
+                # (B, N, p², c) pre-shuffle; the 1x1 conv applies per
+                # c-vector so the (N, p²) axes act as spatial dims —
+                # identical params to the post-shuffle conv below. XLA
+                # fuses the conv with the argmax (one iota_reduce fusion,
+                # measured 1.14 ms); expressing this as a flattened 2-D
+                # dot instead was measured WORSE (+2.4 ms): the
+                # (..., 64)-minor re-tiling reshape costs more than the
+                # conv's layout copy.
                 t = FinalPatchExpandX4(self.out_dim,
                                        use_pallas=self.use_pallas,
                                        dtype=self.dtype, name="layer_up")(

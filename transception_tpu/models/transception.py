@@ -51,22 +51,24 @@ class MSTransception(nn.Module):
         # ---- Bridge ----
         geo = BridgeGeometry(cfg.img_size, cfg.dims, cfg.bridge_dim)
         bridge_kind = cfg.have_bridge
+        bridge_pallas = (cfg.use_pallas if cfg.bridge_use_pallas is None
+                         else bool(cfg.bridge_use_pallas))
         if bridge_kind not in ("none", "None"):
             if bridge_kind == "sp":
                 enc = BridgeBlockSp(geo, cfg.bridge_heads, cfg.num_sp,
                                     cfg.reduction_ratios,
-                                    use_pallas=cfg.use_pallas, dtype=dt,
+                                    use_pallas=bridge_pallas, dtype=dt,
                                     name="bridge")(enc, deterministic=not train)
             elif bridge_kind == "para":
                 enc = BridgeBlockPara(geo, cfg.bridge_heads,
                                       cfg.reduction_ratios,
-                                      use_pallas=cfg.use_pallas, dtype=dt,
+                                      use_pallas=bridge_pallas, dtype=dt,
                                       name="bridge")(enc)
             else:  # 'original' and any other value (MSTr.py:2802-2809)
                 enc = BridgeBlock4(geo, cfg.bridge_heads, cfg.br_ch_att_list,
                                    cfg.reduction_ratios,
                                    seq_shard_axis=cfg.bridge_seq_shard_axis,
-                                   use_pallas=cfg.use_pallas,
+                                   use_pallas=bridge_pallas,
                                    dtype=dt, name="bridge")(enc)
 
         # ---- Decoder ----

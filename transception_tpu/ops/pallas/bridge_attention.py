@@ -33,6 +33,13 @@ def _fused_fwd(q, k, v, scale):
 
 def _fused_bwd(scale, res, g):
     q, k, v = res
+    from transception_tpu.ops.pallas import bridge_attention_kernel as bak
+    if _target_platform() == "tpu" and bak.eligible(q.shape, k.shape,
+                                                    q.dtype):
+        # Flash-style Pallas backward: recomputes the probability matrix
+        # per N-tile in VMEM; the XLA chain below materializes the
+        # (B, N, M) fp32 matrix in HBM twice (dSoftmax and dV paths).
+        return bak.bridge_softmax_attention_bwd(q, k, v, g, scale=scale)
     f32 = jnp.float32
     logits = jnp.einsum("bhnd,bhmd->bhnm", q.astype(f32), k.astype(f32)) \
         * scale

@@ -54,6 +54,118 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                scale: float):
+    """Flash-style backward tile: recompute logits/softmax for this
+    N-tile in VMEM (never materializing the (N, M) matrix in HBM), write
+    dQ for the tile, accumulate dK/dV across the N-tile grid dimension
+    (the kernel revisits the same (bh,) dK/dV block for every j; grid
+    iterates j innermost, so += accumulation is well-defined)."""
+    j = pl.program_id(1)
+    f32 = jnp.float32
+    q = q_ref[0].astype(f32)          # (tile, d)
+    k = k_ref[0].astype(f32)          # (M, d)
+    v = v_ref[0].astype(f32)
+    g = g_ref[0].astype(f32)          # (tile, d)
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32) * scale
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)          # (tile, M)
+    # dV += Pᵀ g ; dP = g Vᵀ ; dL = P∘(dP − rowsum(P∘dP))
+    dv = jax.lax.dot_general(
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)                    # (M, d)
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)                    # (tile, M)
+    dl = p * (dp - jnp.sum(p * dp, axis=1, keepdims=True))
+    dq = jax.lax.dot_general(
+        dl, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) * scale            # (tile, d)
+    dk = jax.lax.dot_general(
+        dl, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32) * scale            # (M, d)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(j > 0)
+    def _accum():
+        dk_ref[0] += dk.astype(dk_ref.dtype)
+        dv_ref[0] += dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def bridge_softmax_attention_bwd(q, k, v, g, scale: float,
+                                 interpret: bool = False):
+    """Backward of softmax(q·kᵀ·scale)·v w.r.t. (q, k, v) given cotangent
+    g of the output — tiled like the forward; the (N, M) probability
+    matrix is recomputed per tile in VMEM and never touches HBM (the XLA
+    backward materializes it twice: dSoftmax and dV paths).
+
+    dK/dV accumulate in fp32 and are returned in fp32 (cast at the
+    caller); zero rows added by N-padding contribute zero because the
+    padded g rows are zero."""
+    B, h, N, d = q.shape
+    M = k.shape[2]
+    bh = B * h
+    tile = min(_TILE_N, N)
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    qr = q.reshape(bh, N, d)
+    gr = g.reshape(bh, N, d)
+    if pad:
+        qr = jnp.pad(qr, ((0, 0), (0, pad), (0, 0)))
+        gr = jnp.pad(gr, ((0, 0), (0, pad), (0, 0)))
+    kr = k.reshape(bh, M, d)
+    vr = v.reshape(bh, M, d)
+    f32 = jnp.float32
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(bh, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_tiles * tile, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, M, d), f32),
+            jax.ShapeDtypeStruct((bh, M, d), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * n_tiles * tile * M * d * 5,
+            bytes_accessed=bh * (2 * N * d * 2 + 4 * M * d * 4),
+            transcendentals=bh * N * M,
+        ),
+        interpret=interpret,
+    )(qr, kr, vr, gr)
+    if pad:
+        dq = dq[:, :N]
+    return (dq.reshape(B, h, N, d),
+            dk.reshape(B, h, M, d).astype(k.dtype),
+            dv.reshape(B, h, M, d).astype(v.dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def bridge_softmax_attention(q, k, v, scale: float,
                              interpret: bool = False):

@@ -92,6 +92,137 @@ def _kernel(x_ref, w_ref, g_ref, gt_ref, scale_ref, bias_ref, o_ref, *,
     o_ref[0] = yn.astype(o_ref.dtype)
 
 
+def _argmax_kernel(x_ref, w_ref, g_ref, gt_ref, scale_ref, bias_ref,
+                   hw_ref, hb_ref, sel_ref, o_ref, *, c: int, eps: float,
+                   n_class: int):
+    """Expand + grouped LN (as _kernel) + per-group 1x1 head + argmax —
+    all in VMEM. The head is one dot against a block-diagonal
+    (p²c, p²·n_class) weight (zero FLOPs wasted on the MXU are cheaper
+    than any lane reshape, which Mosaic cannot do); per-class columns are
+    then extracted with 0/1 selector dots and the argmax is an unrolled
+    compare chain (strict > keeps the earliest index, matching
+    jnp.argmax tie semantics)."""
+    x = x_ref[0]
+    w = w_ref[...]
+    y = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype).astype(jnp.float32)
+    g = g_ref[...]
+    gt = gt_ref[...]
+    s = jax.lax.dot_general(
+        y, g, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sq = jax.lax.dot_general(
+        y * y, g, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    mean = s / c
+    var = sq / c - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    mean_b = jax.lax.dot_general(
+        mean, gt, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    inv_b = jax.lax.dot_general(
+        inv, gt, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    yn = (y - mean_b) * inv_b * scale_ref[...].astype(jnp.float32) \
+        + bias_ref[...].astype(jnp.float32)
+    # Round like the XLA path (LN emits compute dtype; the fp32 head conv
+    # promotes it back).
+    yb = yn.astype(x.dtype).astype(jnp.float32)
+    logits = jax.lax.dot_general(              # (toks, p²·n_class)
+        yb, hw_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + hb_ref[...]
+    best_val = jax.lax.dot_general(            # class 0 per group
+        logits, sel_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    best_idx = jnp.zeros_like(best_val, dtype=jnp.int32)
+    for kcls in range(1, n_class):
+        lk = jax.lax.dot_general(
+            logits, sel_ref[kcls], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        upd = lk > best_val
+        best_idx = jnp.where(upd, jnp.int32(kcls), best_idx)
+        best_val = jnp.maximum(lk, best_val)
+    o_ref[0] = best_idx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "p", "c", "n_class", "eps",
+                                    "interpret"))
+def fused_patch_expand_argmax(x, w, scale, bias, head_w, head_b, *, H: int,
+                              W: int, p: int, c: int, n_class: int,
+                              eps: float = 1e-5, interpret: bool = False):
+    """Dense(expand) -> grouped LN -> per-group fp32 1x1 head -> argmax,
+    one kernel. x: (B, H*W, C); head_w: (c, n_class); head_b: (n_class,).
+    Returns (B, H*W, p²) int32 class ids in PRE-shuffle order — the HBM
+    write shrinks from the (B, N, p²c) activation to p² ints/token.
+    Accumulation-order caveat: the head dot is a different (but still
+    fp32-MXU) contraction than XLA's conv, so exact argmax ties at fp32
+    resolution may differ; everything else matches the XLA path's
+    rounding."""
+    B, N, C = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    rows = _pick_rows(H, W, c, p, itemsize)
+    if rows == 0:
+        raise NotImplementedError("no row tiling fits VMEM")
+    feats = p * p * c
+    groups = p * p
+    wd = w.astype(x.dtype)
+    gsel = (jnp.arange(feats) // c)[:, None] == jnp.arange(groups)[None, :]
+    gsel = gsel.astype(jnp.float32)
+    gbk = gsel.T
+    scale_t = jnp.tile(scale.astype(jnp.float32), groups)
+    bias_t = jnp.tile(bias.astype(jnp.float32), groups)
+    # Block-diagonal head: (p²c, p²·n_class), group-major columns —
+    # bd[g·c + i, g·n_class + k] = head_w[i, k].
+    eye_g = jnp.eye(groups, dtype=jnp.float32)
+    bd = jnp.einsum("gh,ik->gihk", eye_g, head_w.astype(jnp.float32))
+    bd = bd.reshape(feats, groups * n_class)
+    hb_t = jnp.tile(head_b.astype(jnp.float32), groups)
+    # Per-class 0/1 selectors: sel[k, g*n_class+k, g] = 1.
+    cols = jnp.arange(groups * n_class)
+    sel = (cols[None, :, None] % n_class == jnp.arange(n_class)[:, None, None]) \
+        & (cols[None, :, None] // n_class == jnp.arange(groups)[None, None, :])
+    sel = sel.astype(jnp.float32)  # (n_class, p²·n_class, p²)
+
+    out = pl.pallas_call(
+        functools.partial(_argmax_kernel, c=c, eps=eps, n_class=n_class),
+        grid=(B, H // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows * W, C), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, feats), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((feats, groups), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, feats), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((feats,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((feats,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((feats, groups * n_class), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups * n_class,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_class, groups * n_class, groups),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows * W, groups), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, groups), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * feats
+            + 2 * B * N * feats * groups * n_class,
+            bytes_accessed=(B * N * C * itemsize + B * N * groups * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, wd, gsel, gbk, scale_t, bias_t, bd, hb_t, sel)
+    return out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "p", "c", "eps", "interpret"))
 def fused_patch_expand(x, w, scale, bias, *, H: int, W: int, p: int,

@@ -124,3 +124,15 @@ def fused_expand_pre_shuffle(x, w, scale, bias, H: int, W: int, p: int,
     the kernel's native output, with no XLA layout copies. For consumers
     that commute with the pixel shuffle (1x1 head conv + argmax)."""
     return _fused_pre(x, w, scale, bias, H, W, p, c, eps)
+
+
+def fused_expand_argmax(x, w, scale, bias, head_w, head_b, H: int, W: int,
+                        p: int, c: int, n_class: int, eps: float = 1e-5):
+    """Fused Dense->LN->fp32 head->argmax (inference only, no VJP):
+    (B, N, p²) int32 class ids in pre-shuffle order. Call can_fuse()
+    first. The HBM write shrinks from the (B, N, p²c) bf16 activation to
+    p² ints per token — no layout copy, no logits materialization."""
+    from transception_tpu.ops.pallas import expand_kernel as ek
+    return ek.fused_patch_expand_argmax(x, w, scale, bias, head_w, head_b,
+                                        H=H, W=W, p=p, c=c, n_class=n_class,
+                                        eps=eps)

@@ -136,11 +136,14 @@ class Trainer:
         self.model = model or MSTransception(model_cfg)
         # Train-step model: same params, but kernels gated by
         # use_pallas_train (their custom-VJP backwards are slower than
-        # XLA's fused fwd+bwd — see core/config.py). Eval keeps kernels.
+        # XLA's fused fwd+bwd — see core/config.py). The bridge attention
+        # is the exception: it has a real flash-style Pallas backward, so
+        # its kernels stay on in the train step. Eval keeps all kernels.
         if model is None and model_cfg.use_pallas and \
                 not model_cfg.use_pallas_train:
             self.train_model = MSTransception(
-                _dc.replace(model_cfg, use_pallas=False))
+                _dc.replace(model_cfg, use_pallas=False,
+                            bridge_use_pallas=True))
         else:
             self.train_model = self.model
         self.mesh = make_mesh(train_cfg.dp_size, train_cfg.tp_size)
