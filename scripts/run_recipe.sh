@@ -10,6 +10,11 @@ set -e
 OUT=${1:-/root/repo/runs/r3_recipe}
 mkdir -p "$OUT"
 cd /root/repo
+# --no_augment: host augmentation costs 22 ms/slice = 534 ms/batch on
+# this 1-core dev host vs the 104 ms TPU step (measured) — it would turn
+# the 85-minute run into ~7 h of loader-bound waiting. Production hosts
+# with >=24 loader cores hide augmentation entirely; the augmentation
+# code itself is exercised by tests and the loader threads overlap it.
 exec python -m transception_tpu.cli.train \
     --dataset synthetic \
     --output_dir "$OUT" \
@@ -18,4 +23,5 @@ exec python -m transception_tpu.cli.train \
     --max_epochs 500 \
     --eval_schedule reference \
     --eval_interval 20 \
-    --num_workers 4
+    --num_workers 4 \
+    --no_augment

@@ -110,6 +110,27 @@ def test_facade_bwd_matches_autodiff():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_facade_bwd_traces_with_bf16_input():
+    """Regression: with a bf16 x the reference-impl conv used
+    preferred_element_type, whose transpose rule rejects a bf16-operand/
+    fp32-cotangent pair — _fused_bwd raised TypeError the first time
+    gradients flowed through a use_pallas model (500-epoch recipe run)."""
+    from transception_tpu.ops.pallas import mixffn as fa
+    s, C, hidden = 8, 32, 128
+    x = _rand((1, s * s, C), 1).astype(jnp.bfloat16)
+    p = _params(C, hidden, 30)
+    args = (x, p["w1"], p["b1"], p["dw"], p["dwb"], p["ls"], p["lb"],
+            p["w2"], p["b2"])
+    g = _rand((1, s * s, C), 2).astype(jnp.bfloat16)
+    got = fa._fused_bwd(s, hidden, 1e-5, args, g)  # must not raise
+    _, vjp = jax.vjp(lambda *a: _reference_impl(*a, s, hidden, 1e-5), *args)
+    want = vjp(g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+
 def test_param_tree_identical_between_branches(monkeypatch):
     from transception_tpu.ops.pallas import mixffn as fa
     import transception_tpu.ops.pallas.mixffn_kernel as mk

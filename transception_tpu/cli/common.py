@@ -59,6 +59,11 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--list_dir", type=str, default="./lists/lists_Synapse")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--z_spacing", type=int, default=1)
+    p.add_argument("--no_augment", action="store_true",
+                   help="disable train-time augmentation (measured 22 ms/"
+                        "slice of host CPU — on a 1-core host that is 5x "
+                        "the TPU step time; production hosts with >=24 "
+                        "loader cores hide it entirely)")
 
 
 def add_train_args(p: argparse.ArgumentParser):
@@ -134,6 +139,7 @@ def build_configs(args):
         img_size=args.img_size,
         num_classes=num_classes,
         num_workers=args.num_workers,
+        augment=not getattr(args, "no_augment", False),
     )
     train_cfg = TrainConfig(
         base_lr=getattr(args, "base_lr", 0.05),

@@ -38,11 +38,17 @@ def _reference_impl(x, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden, eps):
                     preferred_element_type=jnp.float32)
          + b1.astype(jnp.float32)).astype(dt)
     hm = h.reshape(B, s, s, hidden)
+    # Conv inputs upcast to fp32 instead of preferred_element_type: the
+    # conv transpose rule rejects a (bf16 operand, fp32 cotangent) pair,
+    # which broke the VJP the first time gradients actually flowed
+    # through a use_pallas model (caught by the 500-epoch recipe run).
+    # Numerics identical: bf16 values are exact in fp32 and accumulation
+    # was already fp32.
     d = jax.lax.conv_general_dilated(
-        hm, dw.reshape(3, 3, 1, hidden).astype(dt), (1, 1),
+        hm.astype(jnp.float32),
+        dw.reshape(3, 3, 1, hidden).astype(jnp.float32), (1, 1),
         ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=hidden,
-        preferred_element_type=jnp.float32)
+        feature_group_count=hidden)
     d = (d + dwb.astype(jnp.float32)).astype(dt).reshape(B, N, hidden)
     # Skip-add in fp32 on the *rounded* terms — exactly what the kernel
     # computes (mixffn_kernel.py:102) — so the VJP differentiates the same

@@ -139,10 +139,14 @@ class Trainer:
         # XLA's fused fwd+bwd — see core/config.py). The bridge attention
         # is the exception: it has a real flash-style Pallas backward, so
         # its kernels stay on in the train step. Eval keeps all kernels.
-        if model is None and model_cfg.use_pallas and \
-                not model_cfg.use_pallas_train:
+        # Applies to a caller-passed MSTransception too (the CLI always
+        # passes one): gating only the model=None path silently trained
+        # with every custom-VJP kernel (caught by the 500-epoch run).
+        if isinstance(self.model, MSTransception) and \
+                self.model.cfg.use_pallas and \
+                not self.model.cfg.use_pallas_train:
             self.train_model = MSTransception(
-                _dc.replace(model_cfg, use_pallas=False,
+                _dc.replace(self.model.cfg, use_pallas=False,
                             bridge_use_pallas=True))
         else:
             self.train_model = self.model
