@@ -1,0 +1,55 @@
+"""Device-trace measurement of the train step at a given batch size.
+
+Usage: python scripts/measure_train.py [batch]
+Mirrors Trainer's kernel gating (XLA everywhere except the bridge
+attention, which has a real Pallas backward).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+
+    import dataclasses as dc
+    from transception_tpu.core.config import TrainConfig, TransceptionConfig
+    from transception_tpu.models.transception import MSTransception
+    from transception_tpu.train.state import create_train_state
+    from transception_tpu.train.trainer import make_train_step
+    from transception_tpu.utils.profiling import device_time_per_call
+
+    cfg = TransceptionConfig()
+    model = MSTransception(dc.replace(cfg, use_pallas=False,
+                                      bridge_use_pallas=True))
+    x = jnp.zeros((batch, 224, 224, 1), jnp.float32)
+    y = jnp.zeros((batch, 224, 224), jnp.int32)
+    state = create_train_state(model, TrainConfig(batch_size=batch), 92, x,
+                               jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, 9, 0.4, 0.6), donate_argnums=(0,))
+    state, m = step(state, x, y, jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+    holder = {"s": state}
+
+    def call():
+        holder["s"], mm = step(holder["s"], x, y, jax.random.PRNGKey(2))
+        return mm
+
+    t, _ = device_time_per_call(call, iters=5)
+    if t is None:
+        print("no device trace")
+        return
+    print(f"train step bs={batch}: {t * 1e3:.2f} ms -> "
+          f"{batch / t:.1f} imgs/s/chip (device trace)")
+
+
+if __name__ == "__main__":
+    main()

@@ -167,6 +167,39 @@ def main():
         print(f"{t * 1e3:8.2f} {gb:7.2f} {bw:6.0f}  {name}  "
               f"[{r['tf_op'][:110]}]")
 
+    # fp32-materialization audit: any op whose HLO result is a large f32
+    # tensor writes 2x the bytes a bf16 residual stream would (VERDICT r3
+    # #1: "audit for fp32 materializations at layer boundaries").
+    sig = re.compile(r"= (f32|bf16|u8|s8|s32|u32|pred)\[([\d,]*)\]")
+    by_dtype = {}
+    f32_rows = []
+    for name, r in ops.items():
+        m = sig.search(name)
+        if not m:
+            continue
+        dt, dims = m.groups()
+        elems = 1
+        for d in dims.split(","):
+            if d:
+                elems *= int(d)
+        width = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2,
+                 "u8": 1, "s8": 1, "pred": 1}[dt]
+        out_gb = elems * width / 1e9
+        d = by_dtype.setdefault(dt, {"t": 0.0, "out_gb": 0.0, "n": 0})
+        d["t"] += r["t"] / iters
+        d["out_gb"] += out_gb * r["n"] / iters
+        d["n"] += 1
+        if dt in ("f32", "s32") and out_gb * r["n"] / iters > 0.01:
+            f32_rows.append((out_gb * r["n"] / iters, r["t"] / iters, name))
+    print("\n=== by result dtype (time / output GB written) ===")
+    for dt, d in sorted(by_dtype.items(), key=lambda kv: -kv[1]["t"]):
+        print(f"{d['t'] * 1e3:8.2f} ms {d['out_gb']:7.2f} GB out "
+              f"({d['n']} ops)  {dt}")
+    if f32_rows:
+        print("\n=== fp32/int32 materializations > 10 MB/call ===")
+        for gb, t, name in sorted(f32_rows, reverse=True)[:20]:
+            print(f"{gb * 1e3:8.1f} MB {t * 1e3:7.2f} ms  {name[:160]}")
+
     print("\n=== by component ===")
     comp = {}
     for name, r in ops.items():

@@ -15,6 +15,13 @@ cd /root/repo
 # the 85-minute run into ~7 h of loader-bound waiting. Production hosts
 # with >=24 loader cores hide augmentation entirely; the augmentation
 # code itself is exercised by tests and the loader threads overlap it.
+#
+# --device_data: the axon tunnel on this image leaks ~payload-size host
+# RSS on EVERY H2D transfer (measured 4.6 MB per bs-24 image tensor;
+# delete/gc don't free it) — the first attempt at this run streamed
+# batches from the host and was OOM-killed at iteration 13,450 with
+# 130 GB anon RSS. On-device jitted batch generation does zero per-step
+# transfers (and removes the 1-core host loader from the critical path).
 exec python -m transception_tpu.cli.train \
     --dataset synthetic \
     --output_dir "$OUT" \
@@ -24,4 +31,5 @@ exec python -m transception_tpu.cli.train \
     --eval_schedule reference \
     --eval_interval 20 \
     --num_workers 4 \
-    --no_augment
+    --no_augment \
+    --device_data

@@ -59,6 +59,12 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--list_dir", type=str, default="./lists/lists_Synapse")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--z_spacing", type=int, default=1)
+    p.add_argument("--device_data", action="store_true",
+                   help="synthetic only: generate training batches on "
+                        "device (jitted PRNG, zero H2D/step). Required "
+                        "for long runs on this image — the axon tunnel "
+                        "leaks host RSS on every transfer "
+                        "(data/device_synthetic.py)")
     p.add_argument("--no_augment", action="store_true",
                    help="disable train-time augmentation (measured 22 ms/"
                         "slice of host CPU — on a 1-core host that is 5x "
@@ -140,6 +146,7 @@ def build_configs(args):
         num_classes=num_classes,
         num_workers=args.num_workers,
         augment=not getattr(args, "no_augment", False),
+        device_data=getattr(args, "device_data", False),
     )
     train_cfg = TrainConfig(
         base_lr=getattr(args, "base_lr", 0.05),

@@ -193,6 +193,11 @@ class DataConfig:
     augment: bool = True
     # Synthetic fallback: deterministic random data for envs with no dataset.
     synthetic_len: int = 2211  # matches lists_Synapse/train.txt
+    # Generate synthetic training batches ON DEVICE (jitted PRNG) instead
+    # of streaming them from the host. Zero H2D per step — required for
+    # long recipe runs on this image, where the axon tunnel leaks host RSS
+    # on every transfer (see data/device_synthetic.py). synthetic only.
+    device_data: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -68,6 +68,9 @@ def assemble_global_batch(batch, data_shard, global_batch_size: int,
     DataParallel's scatter (trainer.py:110-111). Extracted from the train
     loop so multi-host semantics are testable with real process counts
     (tests/test_multihost.py)."""
+    if isinstance(batch["image"], jax.Array):
+        # Already on device (DeviceSyntheticStream) — no transfer.
+        return batch["image"], batch["label"]
     if multihost:
         gb_img = (global_batch_size,) + batch["image"].shape[1:]
         gb_lbl = (global_batch_size,) + batch["label"].shape[1:]
@@ -220,13 +223,26 @@ class Trainer:
     # ---- main loop ----
     def train(self, max_steps: Optional[int] = None):
         cfg = self.cfg
-        train_ds = make_train_dataset(self.data_cfg)
         test_ds = make_test_dataset(self.data_cfg)
-        loader = HostDataLoader(
-            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
-            num_workers=self.data_cfg.num_workers,
-            process_index=jax.process_index(),
-            process_count=jax.process_count())
+        if self.data_cfg.device_data:
+            assert self.data_cfg.dataset == "synthetic", (
+                "--device_data generates random batches on device; it is "
+                "only meaningful for the synthetic dataset")
+            from transception_tpu.data.device_synthetic import (
+                DeviceSyntheticStream,
+            )
+            loader = DeviceSyntheticStream(
+                cfg.batch_size, self.data_cfg.img_size,
+                self.data_cfg.num_classes,
+                length=self.data_cfg.synthetic_len, seed=cfg.seed,
+                sharding=batch_sharding(self.mesh))
+        else:
+            train_ds = make_train_dataset(self.data_cfg)
+            loader = HostDataLoader(
+                train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                num_workers=self.data_cfg.num_workers,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
         steps_per_epoch = len(loader)
         logger.info("%d iterations per epoch, %d max iterations",
                     steps_per_epoch, steps_per_epoch * cfg.max_epochs)
@@ -272,6 +288,7 @@ class Trainer:
             self.model.apply(v, x, train=False), -1))
 
         dice_hist, hd95_hist = [], []
+        tb_pending = []
         it = int(state.step)
         start_epoch = it // max(steps_per_epoch, 1)
         total_steps = max_steps or steps_per_epoch * cfg.max_epochs
@@ -287,10 +304,12 @@ class Trainer:
                 state, metrics = step_fn(state, images, labels, drop)
                 it += 1
                 if writer is not None and it % 10 == 0:
-                    lr = float(schedule(it))
-                    writer.add_scalar("info/lr", lr, it)
-                    for k, v in metrics.items():
-                        writer.add_scalar(f"info/{k}", float(v), it)
+                    # Buffer device scalars; converting here (float(v))
+                    # would sync the async dispatch pipeline every 10
+                    # steps. Flushed with the 50-step log line below
+                    # (schedule(it) also runs there — it dispatches to
+                    # the device and would sync just the same).
+                    tb_pending.append((it, dict(metrics)))
                 if writer is not None and it % 200 == 0:
                     try:
                         _log_images(writer, tb_pred_fn, state, images,
@@ -298,6 +317,14 @@ class Trainer:
                     except Exception:  # pragma: no cover
                         pass
                 if it % 50 == 0:
+                    if writer is not None:
+                        for tb_it, tb_m in tb_pending:
+                            writer.add_scalar("info/lr",
+                                              float(schedule(tb_it)), tb_it)
+                            for k, v in tb_m.items():
+                                writer.add_scalar(f"info/{k}", float(v),
+                                                  tb_it)
+                        tb_pending.clear()
                     m = {k: float(v) for k, v in metrics.items()}
                     logger.info(
                         "iteration %d : lr %.6f loss %.4f ce %.4f dice %.4f "
@@ -338,6 +365,10 @@ class Trainer:
             if done:
                 break
         if writer is not None:
+            for tb_it, tb_m in tb_pending:
+                writer.add_scalar("info/lr", float(schedule(tb_it)), tb_it)
+                for k, v in tb_m.items():
+                    writer.add_scalar(f"info/{k}", float(v), tb_it)
             writer.close()
         self._plot_results(dice_hist, hd95_hist)
         return state, {"dice": dice_hist, "hd95": hd95_hist}
