@@ -30,6 +30,7 @@ def _shuffle(y, H, W, p, c):
     (8, 64, 4, 64),    # FinalPatchExpandX4 geometry (tiny)
     (8, 128, 2, 64),   # PatchExpand geometry
     (56, 64, 4, 64),   # published decoder-head geometry
+    (14, 320, 2, 160),  # decoder_2 PatchExpand: whole-map block (rows=H)
 ])
 def test_kernel_matches_reference(H, C, p, c):
     x = _rand((2, H * H, C), 0)
@@ -104,10 +105,40 @@ def test_decoder_argmax_kernel_branch_matches_conv_branch():
     # composition path: XLA pre-shuffle expand + conv + argmax
     want = np.asarray(layer.apply(v, x1, x2, argmax_head=True), np.uint8)
     assert got.shape == want.shape
-    # fp32 head accumulation order differs (dot vs conv); allow a tiny
-    # tie-flip fraction on random data.
+    # The kernel's head dot runs in the compute dtype (bf16 here) with
+    # fp32 accumulation — the weight rounding (~2^-9 relative) can flip
+    # argmax near-ties vs the conv branch's fp32 weights, on top of the
+    # accumulation-order difference.  On random data that is a small
+    # tie-flip fraction, not a systematic error.
     mismatch = (np.asarray(got) != want).mean()
-    assert mismatch < 1e-3, mismatch
+    assert mismatch < 2e-2, mismatch
+
+
+def test_argmax_kernel_bf16_exact_vs_bf16_reference():
+    """In bf16 the kernel's head uses bf16-rounded weights; it must match
+    a reference computing the SAME rounded-weight logits exactly."""
+    from transception_tpu.ops.pallas.expand_kernel import (
+        fused_patch_expand_argmax,
+    )
+    H, p, c, ncls = 8, 4, 64, 9
+    x = _rand((2, H * H, c), 0, jnp.bfloat16)
+    w = _rand((c, p * p * c), 1)
+    scale = _rand((c,), 2) * 0.1 + 1.0
+    bias = _rand((c,), 3) * 0.1
+    hw = _rand((c, ncls), 4)
+    hb = _rand((ncls,), 5) * 0.1
+    got = fused_patch_expand_argmax(x, w, scale, bias, hw, hb, H=H, W=H,
+                                    p=p, c=c, n_class=ncls, interpret=True)
+    y = fused_patch_expand(x, w, scale, bias, H=H, W=H, p=p, c=c,
+                           interpret=True)
+    y = y.reshape(2, H * H, p * p, c)
+    hw_r = hw.astype(jnp.bfloat16).astype(jnp.float32)
+    logits = y.astype(jnp.float32) @ hw_r + hb
+    # The kernel emits logits in the compute dtype (bf16 here) and the
+    # argmax runs in XLA on the rounded values.
+    want = jnp.argmax(logits.astype(jnp.bfloat16), axis=-1)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(want, np.int32))
 
 
 def test_kernel_bf16():
@@ -133,6 +164,12 @@ def test_eligibility_gate():
     # non-square map whose N *is* a perfect square must be rejected
     # (ADVICE r2: sqrt(N) inference would wrongly admit 28x112 -> 56x56)
     assert not eligible((1, 3136, 64), 28, 112, 64, 64, 4, jnp.bfloat16)
+    # H=W=14 (decoder_2): no small row block divides 14 with rows*W % 8
+    # == 0 — must fall back to the whole-map block instead of rejecting
+    assert eligible((128, 196, 320), 14, 14, 320, 160, 2, jnp.bfloat16)
+    # ... but not when the whole-map tile exceeds VMEM (weight gate
+    # passes at in_c=64; 196·4·1664·10 B ≈ 13.0 MB > budget)
+    assert not eligible((1, 196, 64), 14, 14, 64, 1664, 2, jnp.bfloat16)
 
 
 def test_facade_bwd_matches_autodiff():

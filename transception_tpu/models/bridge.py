@@ -316,13 +316,15 @@ class BridgeLayer4(nn.Module):
             # (measured 4 warnings vs 1); the single remaining warning is
             # on a 16 KB grad-accumulation tensor in the dwconv backward
             # and is cosmetic.
-            # NB: the fused MixFFN_skip kernel (ops/pallas/mixffn_kernel)
-            # is deliberately NOT enabled here: measured on v5e b=128 it
-            # is net-neutral (2.53+1.67 ms for scales 0-1 vs ~4.2 ms XLA;
-            # the 9-tap depthwise conv makes it VPU-bound, and overall
-            # throughput dipped 904 -> 897 slices/s). Kept built+tested
-            # as groundwork; revisit with a fused-multiply conv layout.
+            # The fused MixFFN_skip kernel (ops/pallas/mixffn_kernel) is
+            # enabled here since r3: the r2 dip (904 -> 897 slices/s) is
+            # gone — enabling measured +2 slices/s on its own, and the
+            # column-shift hoist in the kernel (3 sublane funnel-shift
+            # passes instead of 9) then sped up all 14 kernel instances
+            # (985 -> 1002 slices/s total); eligible() still gates the
+            # shapes per scale.
             f = MixFFNSkip(C * mult, C * mult * 4, dtype=self.dtype,
+                           use_pallas=self.use_pallas,
                            name=f"mixffn{i + 1}")(t, s, s)
             ffn_outs.append(f.reshape(B, -1, C))
         if N > geo.total:

@@ -43,6 +43,15 @@ def _pick_rows(H: int, W: int, c: int, p: int, itemsize: int) -> int:
                 + toks * feats * itemsize)
         if need <= _VMEM_BUDGET:
             return rows
+    # Whole-map fallback: a block covering the entire token axis satisfies
+    # the sublane rule trivially (no partial tiles), so maps like H=W=14 —
+    # where no small row count divides H with rows*W % 8 == 0 — still fuse
+    # when the full map fits VMEM (grid collapses to (B, 1)).
+    toks = H * W
+    feats = c * p * p
+    need = toks * feats * 4 * 2 + toks * feats * itemsize
+    if need <= _VMEM_BUDGET:
+        return H
     return 0
 
 
@@ -92,16 +101,26 @@ def _kernel(x_ref, w_ref, g_ref, gt_ref, scale_ref, bias_ref, o_ref, *,
     o_ref[0] = yn.astype(o_ref.dtype)
 
 
-def _argmax_kernel(x_ref, w_ref, g_ref, gt_ref, scale_ref, bias_ref,
-                   hw_ref, hb_ref, sel_ref, o_ref, *, c: int, eps: float,
-                   n_class: int):
-    """Expand + grouped LN (as _kernel) + per-group 1x1 head + argmax —
-    all in VMEM. The head is one dot against a block-diagonal
-    (p²c, p²·n_class) weight (zero FLOPs wasted on the MXU are cheaper
-    than any lane reshape, which Mosaic cannot do); per-class columns are
-    then extracted with 0/1 selector dots and the argmax is an unrolled
-    compare chain (strict > keeps the earliest index, matching
-    jnp.argmax tie semantics)."""
+def _head_kernel(x_ref, w_ref, g_ref, gt_ref, scale_ref, bias_ref,
+                 hw_ref, hb_ref, o_ref, *, c: int, eps: float):
+    """Expand + grouped LN (as _kernel) + per-group 1x1 head — all in
+    VMEM, emitting the per-group class logits (toks, p²·n_class).  The
+    head is one dot against a block-diagonal (p²c, p²·n_class) weight:
+    zero FLOPs wasted on the MXU are cheaper than any lane reshape,
+    which Mosaic cannot do.  The argmax stays in XLA (a cheap minor-dim
+    reduce of the small logits tensor): extracting per-class columns
+    in-kernel needs n_class 0/1 selector dots whose 16-wide outputs each
+    pad to 128 MXU lanes — measured +1.8 ms/call at b=128.  (A per-group
+    formulation with groups on the weight's leading axis and native
+    minor-dim LN reduces was also measured: 39 ms — narrow-lane VPU work
+    is far worse than padded-MXU work at these shapes.)
+
+    The head dot runs in the compute dtype with fp32 accumulation: an
+    fp32xfp32 MXU dot here was measured at +1.6 ms/call — the v5e runs
+    fp32 matmuls ~8x slower than bf16 — so the head weight is rounded to
+    the compute dtype (bf16 products are exact in fp32; only the weight
+    rounding, ~2^-9 relative, can flip argmax near-ties; this path is
+    bf16-only, the fp32 protocol eval keeps XLA's conv+argmax)."""
     x = x_ref[0]
     w = w_ref[...]
     y = jax.lax.dot_general(
@@ -127,24 +146,11 @@ def _argmax_kernel(x_ref, w_ref, g_ref, gt_ref, scale_ref, bias_ref,
         preferred_element_type=jnp.float32)
     yn = (y - mean_b) * inv_b * scale_ref[...].astype(jnp.float32) \
         + bias_ref[...].astype(jnp.float32)
-    # Round like the XLA path (LN emits compute dtype; the fp32 head conv
-    # promotes it back).
-    yb = yn.astype(x.dtype).astype(jnp.float32)
+    yb = yn.astype(x.dtype)
     logits = jax.lax.dot_general(              # (toks, p²·n_class)
         yb, hw_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + hb_ref[...]
-    best_val = jax.lax.dot_general(            # class 0 per group
-        logits, sel_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    best_idx = jnp.zeros_like(best_val, dtype=jnp.int32)
-    for kcls in range(1, n_class):
-        lk = jax.lax.dot_general(
-            logits, sel_ref[kcls], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        upd = lk > best_val
-        best_idx = jnp.where(upd, jnp.int32(kcls), best_idx)
-        best_val = jnp.maximum(lk, best_val)
-    o_ref[0] = best_idx
+    o_ref[0] = logits.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -153,7 +159,7 @@ def _argmax_kernel(x_ref, w_ref, g_ref, gt_ref, scale_ref, bias_ref,
 def fused_patch_expand_argmax(x, w, scale, bias, head_w, head_b, *, H: int,
                               W: int, p: int, c: int, n_class: int,
                               eps: float = 1e-5, interpret: bool = False):
-    """Dense(expand) -> grouped LN -> per-group fp32 1x1 head -> argmax,
+    """Dense(expand) -> grouped LN -> per-group 1x1 head -> argmax,
     one kernel. x: (B, H*W, C); head_w: (c, n_class); head_b: (n_class,).
     Returns (B, H*W, p²) int32 class ids in PRE-shuffle order — the HBM
     write shrinks from the (B, N, p²c) activation to p² ints/token.
@@ -168,26 +174,22 @@ def fused_patch_expand_argmax(x, w, scale, bias, head_w, head_b, *, H: int,
         raise NotImplementedError("no row tiling fits VMEM")
     feats = p * p * c
     groups = p * p
+    G = groups * n_class
     wd = w.astype(x.dtype)
     gsel = (jnp.arange(feats) // c)[:, None] == jnp.arange(groups)[None, :]
     gsel = gsel.astype(jnp.float32)
     gbk = gsel.T
-    scale_t = jnp.tile(scale.astype(jnp.float32), groups)
-    bias_t = jnp.tile(bias.astype(jnp.float32), groups)
+    scale_t = jnp.tile(scale.astype(jnp.float32), groups)[None, :]
+    bias_t = jnp.tile(bias.astype(jnp.float32), groups)[None, :]
     # Block-diagonal head: (p²c, p²·n_class), group-major columns —
     # bd[g·c + i, g·n_class + k] = head_w[i, k].
     eye_g = jnp.eye(groups, dtype=jnp.float32)
     bd = jnp.einsum("gh,ik->gihk", eye_g, head_w.astype(jnp.float32))
-    bd = bd.reshape(feats, groups * n_class)
-    hb_t = jnp.tile(head_b.astype(jnp.float32), groups)
-    # Per-class 0/1 selectors: sel[k, g*n_class+k, g] = 1.
-    cols = jnp.arange(groups * n_class)
-    sel = (cols[None, :, None] % n_class == jnp.arange(n_class)[:, None, None]) \
-        & (cols[None, :, None] // n_class == jnp.arange(groups)[None, None, :])
-    sel = sel.astype(jnp.float32)  # (n_class, p²·n_class, p²)
+    bd = bd.reshape(feats, G).astype(x.dtype)
+    hb_t = jnp.tile(head_b.astype(jnp.float32), groups)[None, :]
 
-    out = pl.pallas_call(
-        functools.partial(_argmax_kernel, c=c, eps=eps, n_class=n_class),
+    logits = pl.pallas_call(
+        functools.partial(_head_kernel, c=c, eps=eps),
         grid=(B, H // rows),
         in_specs=[
             pl.BlockSpec((1, rows * W, C), lambda i, j: (i, j, 0),
@@ -198,29 +200,32 @@ def fused_patch_expand_argmax(x, w, scale, bias, head_w, head_b, *, H: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((groups, feats), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((feats,), lambda i, j: (0,),
+            pl.BlockSpec((1, feats), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((feats,), lambda i, j: (0,),
+            pl.BlockSpec((1, feats), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((feats, groups * n_class), lambda i, j: (0, 0),
+            pl.BlockSpec((feats, G), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((groups * n_class,), lambda i, j: (0,),
+            pl.BlockSpec((1, G), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_class, groups * n_class, groups),
-                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows * W, groups), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, rows * W, G), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, groups), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, N, G), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * C * feats
-            + 2 * B * N * feats * groups * n_class,
-            bytes_accessed=(B * N * C * itemsize + B * N * groups * 4),
+            flops=2 * B * N * C * feats + 2 * B * N * feats * G,
+            bytes_accessed=(B * N * C * itemsize + B * N * G * itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, wd, gsel, gbk, scale_t, bias_t, bd, hb_t, sel)
-    return out
+    )(x, wd, gsel, gbk, scale_t, bias_t, bd, hb_t)
+    # Argmax in XLA: a minor-dim reduce over the small logits tensor
+    # (group-major columns -> (groups, n_class) reshape is exact).  The
+    # logits are written in the compute dtype: in bf16 that rounds before
+    # the compare, one more source of near-tie flips on the (bf16-only)
+    # fast path.
+    return jnp.argmax(logits.reshape(B, N, groups, n_class),
+                      axis=-1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -241,8 +246,11 @@ def fused_patch_expand(x, w, scale, bias, *, H: int, W: int, p: int,
     gsel = (jnp.arange(feats) // c)[:, None] == jnp.arange(groups)[None, :]
     gsel = gsel.astype(jnp.float32)                 # (p²c, p²)
     gbk = gsel.T                                    # (p², p²c)
-    scale_t = jnp.tile(scale.astype(jnp.float32), groups)
-    bias_t = jnp.tile(bias.astype(jnp.float32), groups)
+    # 2-D (1, feats): Mosaic's 1-D fp32 tiling rejects lengths that are
+    # not tile-aligned (observed at feats=640); a (1, N) operand with N a
+    # multiple of 128 lanes always lowers, and broadcasts in the kernel.
+    scale_t = jnp.tile(scale.astype(jnp.float32), groups)[None, :]
+    bias_t = jnp.tile(bias.astype(jnp.float32), groups)[None, :]
 
     out = pl.pallas_call(
         functools.partial(_kernel, c=c, eps=eps),
@@ -256,9 +264,9 @@ def fused_patch_expand(x, w, scale, bias, *, H: int, W: int, p: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((groups, feats), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((feats,), lambda i, j: (0,),
+            pl.BlockSpec((1, feats), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((feats,), lambda i, j: (0,),
+            pl.BlockSpec((1, feats), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows * W, feats), lambda i, j: (i, j, 0),

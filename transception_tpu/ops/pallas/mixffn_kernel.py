@@ -36,7 +36,7 @@ def _pick_rows(s: int, C: int, hidden: int, itemsize: int) -> int:
     """Row-tile height < s (>=2 tiles so window clamping is well-defined),
     dividing s, with (rows*s) % 8 == 0 (Mosaic sublane rule) and the
     padded fp32 window fitting VMEM."""
-    for rows in (8, 7, 4, 2, 1):
+    for rows in (28, 14, 8, 7, 4, 2, 1):
         if rows >= s or s % rows != 0:
             continue
         if (rows * s) % 8 != 0:
@@ -91,14 +91,23 @@ def _kernel(x_ref, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
     hp_ref[...] = jnp.pad(hm, ((1, 1), (1, 1), (0, 0)))
     dw = dw_ref[...].astype(jnp.float32)                 # (3, 3, hidden)
     acc = jnp.zeros((rows, s, hidden), jnp.float32)
-    for di in range(3):
-        for dj in range(3):
-            sl = hp_ref[pl.ds(off + di, rows), dj:dj + s, :]
+    # One dynamic row-window load, then hoist the 3 column shifts out of
+    # the tap loop: a dj column shift is a sublane-misaligned slice
+    # (a funnel-shift pass over the whole window on the VPU), while a
+    # row shift slices the non-tiled leading dim for free — 3 shift
+    # passes instead of 9.
+    q = hp_ref[pl.ds(off, rows + 2)]                     # (rows+2, s+2, ·)
+    h_t = None
+    for dj in range(3):
+        csh = jax.lax.slice_in_dim(q, dj, dj + s, axis=1)
+        if dj == 1:
+            h_t = jax.lax.slice_in_dim(csh, 1, 1 + rows, axis=0)
+        for di in range(3):
+            sl = jax.lax.slice_in_dim(csh, di, di + rows, axis=0)
             acc = acc + sl * dw[di, dj][None, None, :]
     d = acc + dwb_ref[...].astype(jnp.float32)
     d = d.astype(dt).astype(jnp.float32)                 # Conv rounding
 
-    h_t = hp_ref[pl.ds(off + 1, rows), 1:1 + s, :]
     y = d + h_t.astype(dt).astype(jnp.float32)           # (rows, s, hidden)
     mean = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean(y * y, axis=-1, keepdims=True) - mean * mean
