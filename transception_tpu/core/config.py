@@ -118,6 +118,11 @@ class TransceptionConfig:
     # kernels in training while the other ops (whose custom-VJP backwards
     # lose to XLA's joint fwd+bwd) fall back.
     bridge_use_pallas: object = None  # Optional[bool]
+    # Overrides the bridge's per-scale MixFFN_skip kernels only (None =>
+    # follow the bridge's resolved use_pallas). The trainer sets False:
+    # the bridge attention keeps its (flash-backward) kernels in training
+    # while the FFN kernel — whose custom-VJP backward loses — does not.
+    bridge_ffn_use_pallas: object = None  # Optional[bool]
     # Execute the num_path MHCA encoders of each stage as one vmapped
     # (path-stacked-params) call instead of sequentially — same math,
     # measured +14% inference / +81% training on v5e. Changes the param

@@ -260,6 +260,12 @@ class BridgeLayer4(nn.Module):
     reduction_ratio: Tuple[int, ...] = (1, 2, 4, 8)
     seq_shard_axis: str = ""
     use_pallas: bool = False
+    # The per-scale MixFFN_skip kernels are gated separately from the
+    # attention kernels: the bridge attention has a flash-style Pallas
+    # backward (a train-step win), while the MixFFN kernel's custom-VJP
+    # backward loses to XLA's joint fwd+bwd — the trainer keeps attention
+    # kernels on but FFN kernels off (None -> follow use_pallas).
+    ffn_use_pallas: object = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -323,8 +329,10 @@ class BridgeLayer4(nn.Module):
             # passes instead of 9) then sped up all 14 kernel instances
             # (985 -> 1002 slices/s total); eligible() still gates the
             # shapes per scale.
+            ffn_pallas = (self.use_pallas if self.ffn_use_pallas is None
+                          else bool(self.ffn_use_pallas))
             f = MixFFNSkip(C * mult, C * mult * 4, dtype=self.dtype,
-                           use_pallas=self.use_pallas,
+                           use_pallas=ffn_pallas,
                            name=f"mixffn{i + 1}")(t, s, s)
             ffn_outs.append(f.reshape(B, -1, C))
         if N > geo.total:
@@ -349,6 +357,7 @@ class BridgeBlock4(nn.Module):
     reduction_ratio: Tuple[int, ...] = (1, 2, 4, 8)
     seq_shard_axis: str = ""
     use_pallas: bool = False
+    ffn_use_pallas: object = None  # see BridgeLayer4
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -380,6 +389,7 @@ class BridgeBlock4(nn.Module):
                              self.reduction_ratio,
                              seq_shard_axis=self.seq_shard_axis,
                              use_pallas=self.use_pallas,
+                             ffn_use_pallas=self.ffn_use_pallas,
                              dtype=self.dtype,
                              name=f"bridge_layer{i + 1}")(x)
         if padded:

@@ -69,6 +69,7 @@ class MSTransception(nn.Module):
                                    cfg.reduction_ratios,
                                    seq_shard_axis=cfg.bridge_seq_shard_axis,
                                    use_pallas=bridge_pallas,
+                                   ffn_use_pallas=cfg.bridge_ffn_use_pallas,
                                    dtype=dt, name="bridge")(enc)
 
         # ---- Decoder ----

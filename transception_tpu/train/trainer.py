@@ -150,7 +150,8 @@ class Trainer:
                 not self.model.cfg.use_pallas_train:
             self.train_model = MSTransception(
                 _dc.replace(self.model.cfg, use_pallas=False,
-                            bridge_use_pallas=True))
+                            bridge_use_pallas=True,
+                            bridge_ffn_use_pallas=False))
         else:
             self.train_model = self.model
         self.mesh = make_mesh(train_cfg.dp_size, train_cfg.tp_size)
