@@ -136,3 +136,46 @@ def test_weight_decay_is_coupled_torch_style():
     upd, _ = tx.update(grads, s, params)
     # update = -lr * (grad + wd * p) = -(1 + 0.1*2) = -1.2
     np.testing.assert_allclose(upd["w"], [-1.2], rtol=1e-6)
+
+
+def test_trainer_train_step_kernel_gating(tmp_path):
+    """The trainer's train-step model keeps the bridge ATTENTION kernels on
+    (they have a flash-style Pallas backward — a measured train-step win)
+    while gating the bridge FFN kernels OFF (their custom-VJP backward
+    loses to XLA's joint fwd+bwd; README perf ledger). The eval model is
+    untouched. Guards the bridge_ffn_use_pallas plumbing end-to-end."""
+    from transception_tpu.core.config import DataConfig
+    from transception_tpu.train.trainer import Trainer
+    cfg = tiny_config(use_pallas=True)
+    tr = Trainer(cfg, TrainConfig(batch_size=2, output_dir=str(tmp_path)),
+                 DataConfig(dataset="synthetic", synthetic_len=4))
+    tm = tr.train_model.cfg
+    assert tm.use_pallas is False
+    assert tm.bridge_use_pallas is True
+    assert tm.bridge_ffn_use_pallas is False
+    assert tr.model.cfg.use_pallas is True  # eval model keeps all kernels
+
+
+def test_bridge_ffn_pallas_override(monkeypatch):
+    """BridgeLayer4.ffn_use_pallas=False keeps MixFFN_skip off the kernel
+    path even when the layer's use_pallas is True; None follows
+    use_pallas. Detected by whether the kernel gate (can_fuse) is ever
+    consulted — the only entry to the fused path."""
+    import transception_tpu.ops.pallas.mixffn as mixffn_mod
+    from transception_tpu.models.bridge import BridgeGeometry, BridgeLayer4
+
+    calls = []
+    monkeypatch.setattr(mixffn_mod, "can_fuse",
+                        lambda *a, **k: (calls.append(1), False)[1])
+    geo = BridgeGeometry(32, (64, 128, 320, 512), 64)
+    maps = [jnp.zeros((1, s, s, 64 * m), jnp.float32)
+            for s, m in zip(geo.sides, geo.mults)]
+
+    def init_layer(**kw):
+        layer = BridgeLayer4(geo, 8, False, dtype=jnp.float32, **kw)
+        layer.init(jax.random.PRNGKey(0), maps)
+
+    init_layer(use_pallas=True, ffn_use_pallas=False)
+    assert not calls  # FFN kernel gate never consulted
+    init_layer(use_pallas=True, ffn_use_pallas=None)
+    assert calls  # None -> follows use_pallas: gate consulted
