@@ -158,7 +158,7 @@ def main():
             from transception_tpu.models.transception import MSTransception
             train_model = MSTransception(_dc.replace(
                 cfg, use_pallas=False, bridge_use_pallas=True,
-                bridge_ffn_use_pallas=False))
+                bridge_ffn_use_pallas=False, bridge_attn_fold=False))
         tstate = create_train_state(train_model, tcfg, 92, xt,
                                     jax.random.PRNGKey(0))
         step = jax.jit(make_train_step(train_model, 9, 0.4, 0.6),

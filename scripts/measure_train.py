@@ -32,7 +32,8 @@ def main():
     # attention kernels on (flash backward), bridge FFN kernels off.
     model = MSTransception(dc.replace(cfg, use_pallas=False,
                                       bridge_use_pallas=True,
-                                      bridge_ffn_use_pallas=False))
+                                      bridge_ffn_use_pallas=False,
+                                      bridge_attn_fold=False))
     x = jnp.zeros((batch, 224, 224, 1), jnp.float32)
     y = jnp.zeros((batch, 224, 224), jnp.int32)
     state = create_train_state(model, TrainConfig(batch_size=batch), 92, x,

@@ -163,3 +163,129 @@ def test_param_tree_identical_between_branches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(fused.apply(v_fused, xr, s, s)),
         np.asarray(xla.apply(v_xla, xr, s, s)), rtol=5e-5, atol=5e-5)
+
+
+# ---- LN+residual-folded variant (bridge norm2 fold, r3) ----
+
+def _ln_params(C, groups, seed=20):
+    g = C // groups
+    pls = _rand((g,), seed) * 0.1 + 1.0
+    plb = _rand((g,), seed + 1) * 0.1
+    return pls, plb, jnp.tile(pls, groups), jnp.tile(plb, groups)
+
+
+@pytest.mark.parametrize("s,C,hidden,groups", [
+    (8, 64, 256, 1),      # bridge scale-0 grouping (mult=1)
+    (16, 128, 512, 2),    # scale-1 grouping (mult=2)
+    (8, 320, 1280, 5),    # scale-2 grouping (mult=5), small map
+])
+def test_folded_kernel_matches_reference(s, C, hidden, groups):
+    from transception_tpu.ops.pallas.mixffn import _reference_impl_ln
+    from transception_tpu.ops.pallas.mixffn_kernel import (
+        eligible_ln,
+        fused_mixffn_ln_skip,
+    )
+    x = _rand((2, s * s, C), 11, jnp.bfloat16)
+    p = _params(C, hidden)
+    _, _, lts, ltb = _ln_params(C, groups)
+    assert eligible_ln(x.shape, C, hidden, groups, x.dtype)
+    got = fused_mixffn_ln_skip(x, lts, ltb, p["w1"], p["b1"], p["dw"],
+                               p["dwb"], p["ls"], p["lb"], p["w2"], p["b2"],
+                               s=s, hidden=hidden, groups=groups,
+                               interpret=True)
+    want = _reference_impl_ln(x, lts, ltb, p["w1"], p["b1"], p["dw"],
+                              p["dwb"], p["ls"], p["lb"], p["w2"], p["b2"],
+                              s, hidden, groups, 1e-5, 1e-5)
+    # Group stats go through selector dots (kernel) vs a reshape-mean
+    # (reference): both fp32, but the different reduction order can move
+    # outputs by a couple of bf16 ULPs at large magnitudes.
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.02, atol=0.1)
+
+
+def test_folded_facade_grads_match_unfolded_composition():
+    """d/dx of fused_mixffn_ln (VJP of the reference-impl mirror) must
+    match the unfolded groupLN -> mixffn -> +x composition."""
+    import transception_tpu.ops.pallas.mixffn_kernel as mk
+    from transception_tpu.ops.pallas import mixffn as fa
+
+    s, C, hidden, groups = 8, 64, 256, 2
+    x = _rand((1, s * s, C), 13)
+    p = _params(C, hidden)
+    _, _, lts, ltb = _ln_params(C, groups)
+
+    def folded(x):
+        return fa.fused_mixffn_ln(
+            x, lts, ltb, p["w1"], p["b1"], p["dw"], p["dwb"], p["ls"],
+            p["lb"], p["w2"], p["b2"], s, hidden, groups).sum()
+
+    def composed(x):
+        xn = fa.group_ln(x, lts, ltb, groups)
+        out = fa._reference_impl(xn, p["w1"], p["b1"], p["dw"], p["dwb"],
+                                 p["ls"], p["lb"], p["w2"], p["b2"],
+                                 s, hidden, 1e-5)
+        return (out.astype(jnp.float32) + x.astype(jnp.float32)).sum()
+
+    orig = mk.fused_mixffn_ln_skip
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(mk, "fused_mixffn_ln_skip", interp):
+        g1 = jax.grad(folded)(x)
+    g2 = jax.grad(composed)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_bridge_layer_fold_matches_unfolded():
+    """BridgeLayer4's folded FFN section (grouped in-FFN norm2 + residual
+    epilogues, engaged when FFN kernels are on) is numerically identical
+    to the unfolded stream-LN structure and shares its param tree —
+    train (unfolded) and eval (folded) read one checkpoint."""
+    from transception_tpu.models.bridge import BridgeGeometry, BridgeLayer4
+
+    rng = np.random.default_rng(1)
+    geo = BridgeGeometry(64, (64, 128, 320, 512), 64)  # sides 16,8,4,2
+    maps = [jnp.asarray(rng.normal(size=(2, s, s, 64 * m)), jnp.float32)
+            for s, m in zip(geo.sides, geo.mults)]
+    folded = BridgeLayer4(geo, 8, False, use_pallas=True,
+                          dtype=jnp.float32)
+    plain = BridgeLayer4(geo, 8, False, use_pallas=True,
+                         ffn_use_pallas=False, dtype=jnp.float32)
+    v = folded.init(jax.random.PRNGKey(0), maps)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                plain.init(jax.random.PRNGKey(0), maps)))
+    np.testing.assert_allclose(
+        np.asarray(folded.apply(v, maps)),
+        np.asarray(plain.apply(v, maps)), rtol=1e-6, atol=1e-6)
+
+
+def test_etb_fold_matches_unfolded():
+    """EfficientTransformerBlock folds norm2+FFN+residual into the fused
+    MixFFN_skip path (groups=1) when use_pallas — identical param tree,
+    init values, and (CPU fallback) outputs vs the unfolded block."""
+    from transception_tpu.ops.attention import EfficientTransformerBlock
+
+    H = W = 16
+    x = _rand((2, H * W, 64), 17)
+    folded = EfficientTransformerBlock(64, 64, 64, use_pallas=True,
+                                       dtype=jnp.float32)
+    plain = EfficientTransformerBlock(64, 64, 64, use_pallas=False,
+                                      dtype=jnp.float32)
+    v1 = folded.init(jax.random.PRNGKey(0), x, H, W)
+    v2 = plain.init(jax.random.PRNGKey(0), x, H, W)
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(v2))
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v1)[0],
+            jax.tree_util.tree_flatten_with_path(v2)[0]):
+        assert k1 == k2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(folded.apply(v1, x, H, W)),
+        np.asarray(plain.apply(v1, x, H, W)), rtol=1e-5, atol=1e-5)

@@ -153,6 +153,7 @@ def test_trainer_train_step_kernel_gating(tmp_path):
     assert tm.use_pallas is False
     assert tm.bridge_use_pallas is True
     assert tm.bridge_ffn_use_pallas is False
+    assert tm.bridge_attn_fold is False  # fold's bwd would lose to flash
     assert tr.model.cfg.use_pallas is True  # eval model keeps all kernels
 
 
@@ -165,7 +166,12 @@ def test_bridge_ffn_pallas_override(monkeypatch):
     from transception_tpu.models.bridge import BridgeGeometry, BridgeLayer4
 
     calls = []
+    # Either kernel gate counts: plain (can_fuse) or the LN-folded one
+    # (can_fuse_ln, consulted when ffn kernels are on and the bridge
+    # folds norm2 into the FFNs).
     monkeypatch.setattr(mixffn_mod, "can_fuse",
+                        lambda *a, **k: (calls.append(1), False)[1])
+    monkeypatch.setattr(mixffn_mod, "can_fuse_ln",
                         lambda *a, **k: (calls.append(1), False)[1])
     geo = BridgeGeometry(32, (64, 128, 320, 512), 64)
     maps = [jnp.zeros((1, s, s, 64 * m), jnp.float32)

@@ -123,6 +123,12 @@ class TransceptionConfig:
     # the bridge attention keeps its (flash-backward) kernels in training
     # while the FFN kernel — whose custom-VJP backward loses — does not.
     bridge_ffn_use_pallas: object = None  # Optional[bool]
+    # Folds the bridge attention's q/out projections + layer residual
+    # into the attention kernel (None => follow the bridge's resolved
+    # use_pallas). The trainer sets False: the fold's backward would
+    # recompute the attention, losing to the plain kernel's flash
+    # Pallas backward in the train step.
+    bridge_attn_fold: object = None  # Optional[bool]
     # Execute the num_path MHCA encoders of each stage as one vmapped
     # (path-stacked-params) call instead of sequentially — same math,
     # measured +14% inference / +81% training on v5e. Changes the param

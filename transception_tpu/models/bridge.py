@@ -26,7 +26,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from transception_tpu.ops.attention import efficient_linear_attention
-from transception_tpu.ops.common import LayerNorm, MLPFFN, MixFFNSkip, gelu, xavier
+from transception_tpu.ops.common import (
+    LayerNorm,
+    MLPFFN,
+    MixFFNSkip,
+    _LNParams,
+    gelu,
+    xavier,
+)
 
 Dtype = Any
 
@@ -160,13 +167,45 @@ class MEfficientSelfAtten(nn.Module):
     reduction_ratio: Tuple[int, ...] = (1, 2, 4, 8)
     seq_shard_axis: str = ""
     use_pallas: bool = False
+    # None -> follow use_pallas. The q-projection, output projection and
+    # layer residual fold INTO the attention kernel (eval win: four fewer
+    # full-stream passes); the trainer disables the fold so the train
+    # step keeps the plain kernel with its flash Pallas backward.
+    attn_fold: object = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
+        """With residual given, returns residual + proj(MHA(x)) — the
+        caller's post-attention residual folds into the kernel epilogue
+        when the folded kernel engages."""
         B, N, C = x.shape
         h = self.head
         d = C // h
+        xr = ScaleReduce(self.geo, self.reduction_ratio, dtype=self.dtype,
+                         name="scale_reduce")(x)
+        kv = _dense(2 * C, "kv", self.dtype)(xr)
+        M = xr.shape[1]
+        kv = kv.reshape(B, M, 2, h, d).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        scale = d ** -0.5
+
+        fold = (residual is not None and not self.seq_shard_axis and
+                (self.use_pallas if self.attn_fold is None
+                 else bool(self.attn_fold)))
+        if fold:
+            from transception_tpu.ops.pallas.bridge_attention import (
+                can_fold_attention,
+                fused_bridge_attention_folded,
+            )
+            if can_fold_attention(x.shape, k.shape, h, x.dtype):
+                from transception_tpu.ops.common import _DenseParams
+                wq, bq = _DenseParams((C, C), name="q")()
+                wp, bp = _DenseParams((C, C), name="proj")()
+                return fused_bridge_attention_folded(
+                    x.astype(self.dtype), residual.astype(self.dtype),
+                    wq, bq, k, v, wp, bp, scale)
+
         q = _dense(C, "q", self.dtype)(x).reshape(B, N, h, d).transpose(
             0, 2, 1, 3)
         if self.seq_shard_axis:
@@ -175,13 +214,6 @@ class MEfficientSelfAtten(nn.Module):
                 from jax.sharding import PartitionSpec as P
                 q = jax.lax.with_sharding_constraint(
                     q, P(None, None, self.seq_shard_axis, None))
-        xr = ScaleReduce(self.geo, self.reduction_ratio, dtype=self.dtype,
-                         name="scale_reduce")(x)
-        kv = _dense(2 * C, "kv", self.dtype)(xr)
-        M = xr.shape[1]
-        kv = kv.reshape(B, M, 2, h, d).transpose(2, 0, 3, 1, 4)
-        k, v = kv[0], kv[1]
-        scale = d ** -0.5
         out = None
         if self.use_pallas and not self.seq_shard_axis:
             # Fused VMEM kernel: the XLA path materializes the (B, N, M)
@@ -199,7 +231,10 @@ class MEfficientSelfAtten(nn.Module):
                              preferred_element_type=jnp.float32
                              ).astype(v.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return _dense(C, "proj", self.dtype)(out)
+        out = _dense(C, "proj", self.dtype)(out)
+        if residual is not None:
+            out = out + residual.astype(out.dtype)
+        return out
 
 
 class MEfficientChannelAtten(nn.Module):
@@ -266,6 +301,10 @@ class BridgeLayer4(nn.Module):
     # backward loses to XLA's joint fwd+bwd — the trainer keeps attention
     # kernels on but FFN kernels off (None -> follow use_pallas).
     ffn_use_pallas: object = None
+    # Folds q/proj/residual into the attention kernel (see
+    # MEfficientSelfAtten.attn_fold); the trainer sets False to keep the
+    # plain kernel whose flash Pallas backward wins the train step.
+    attn_fold: object = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -295,15 +334,39 @@ class BridgeLayer4(nn.Module):
             a = MEfficientChannelAtten(C, self.head,
                                        use_pallas=self.use_pallas,
                                        dtype=self.dtype, name="attn")(h)
-        else:
+            tx1 = inputs + a
+        elif self.seq_shard_axis:
             a = MEfficientSelfAtten(C, self.head, geo, self.reduction_ratio,
                                     seq_shard_axis=self.seq_shard_axis,
                                     use_pallas=self.use_pallas,
                                     dtype=self.dtype, name="attn")(h)
-        tx1 = inputs + a
-        tx = LayerNorm(dtype=self.dtype, name="norm2")(tx1)
-
-        parts = geo.split(tx)
+            tx1 = inputs + a
+        else:
+            # Residual handed to the attention module: it folds into the
+            # kernel epilogue together with the q/out projections.
+            tx1 = MEfficientSelfAtten(C, self.head, geo,
+                                      self.reduction_ratio,
+                                      use_pallas=self.use_pallas,
+                                      attn_fold=self.attn_fold,
+                                      dtype=self.dtype, name="attn")(
+                h, residual=inputs)
+        ffn_pallas = (self.use_pallas if self.ffn_use_pallas is None
+                      else bool(self.ffn_use_pallas))
+        # Kernel mode folds norm2 INTO the per-scale FFNs (as a grouped LN
+        # on each scale's wide layout — same per-token math) and the
+        # post-FFN residual into their epilogues: the full-stream LN pass
+        # and the separate (B, N, C) residual add disappear from XLA.
+        # norm2's params live in a holder with the LayerNorm leaf layout,
+        # so train (unfolded) and eval (folded) share one checkpoint tree.
+        # SP keeps the unfolded structure (its sharding barriers are
+        # placed around the stream ops; see the GSPMD notes above).
+        fold = bool(ffn_pallas) and not self.seq_shard_axis
+        if fold:
+            ls2, lb2 = _LNParams(C, name="norm2")()
+            parts = geo.split(tx1)
+        else:
+            tx = LayerNorm(dtype=self.dtype, name="norm2")(tx1)
+            parts = geo.split(tx)
         ffn_outs = []
         for i in range(4):
             mult = geo.mults[i]
@@ -329,18 +392,28 @@ class BridgeLayer4(nn.Module):
             # passes instead of 9) then sped up all 14 kernel instances
             # (985 -> 1002 slices/s total); eligible() still gates the
             # shapes per scale.
-            ffn_pallas = (self.use_pallas if self.ffn_use_pallas is None
-                          else bool(self.ffn_use_pallas))
-            f = MixFFNSkip(C * mult, C * mult * 4, dtype=self.dtype,
-                           use_pallas=ffn_pallas,
-                           name=f"mixffn{i + 1}")(t, s, s)
+            ffn = MixFFNSkip(C * mult, C * mult * 4, dtype=self.dtype,
+                             use_pallas=ffn_pallas, name=f"mixffn{i + 1}")
+            if fold:
+                f = ffn(t, s, s, pre_ln=(ls2, lb2, mult, 1e-5),
+                        residual=True)
+            else:
+                f = ffn(t, s, s)
             ffn_outs.append(f.reshape(B, -1, C))
-        if N > geo.total:
-            # Zero tail keeps the padded stream's shape; a broadcast write
-            # into the concat buffer, not a pad-copy of the 100 MB stream.
-            ffn_outs.append(jnp.zeros((B, N - geo.total, C),
-                                      ffn_outs[0].dtype))
-        out = tx1 + jnp.concatenate(ffn_outs, axis=1)
+        if fold:
+            # Residuals were added in the FFN epilogues; the padded tail
+            # passes through unchanged (tx1 + 0).
+            if N > geo.total:
+                ffn_outs.append(tx1[:, geo.total:, :])
+            out = jnp.concatenate(ffn_outs, axis=1)
+        else:
+            if N > geo.total:
+                # Zero tail keeps the padded stream's shape; a broadcast
+                # write into the concat buffer, not a pad-copy of the
+                # 100 MB stream.
+                ffn_outs.append(jnp.zeros((B, N - geo.total, C),
+                                          ffn_outs[0].dtype))
+            out = tx1 + jnp.concatenate(ffn_outs, axis=1)
         if self.seq_shard_axis:
             out = _batch_only_sharding(out)  # barrier (see above)
         return out
@@ -358,6 +431,7 @@ class BridgeBlock4(nn.Module):
     seq_shard_axis: str = ""
     use_pallas: bool = False
     ffn_use_pallas: object = None  # see BridgeLayer4
+    attn_fold: object = None  # see BridgeLayer4
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -390,6 +464,7 @@ class BridgeBlock4(nn.Module):
                              seq_shard_axis=self.seq_shard_axis,
                              use_pallas=self.use_pallas,
                              ffn_use_pallas=self.ffn_use_pallas,
+                             attn_fold=self.attn_fold,
                              dtype=self.dtype,
                              name=f"bridge_layer{i + 1}")(x)
         if padded:

@@ -70,6 +70,7 @@ class MSTransception(nn.Module):
                                    seq_shard_axis=cfg.bridge_seq_shard_axis,
                                    use_pallas=bridge_pallas,
                                    ffn_use_pallas=cfg.bridge_ffn_use_pallas,
+                                   attn_fold=cfg.bridge_attn_fold,
                                    dtype=dt, name="bridge")(enc)
 
         # ---- Decoder ----

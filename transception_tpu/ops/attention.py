@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from transception_tpu.ops.common import LayerNorm, make_ffn, xavier
+from transception_tpu.ops.common import LayerNorm, MixFFNSkip, make_ffn, xavier
 
 Dtype = Any
 
@@ -142,6 +142,16 @@ class EfficientTransformerBlock(nn.Module):
                                use_pallas=self.use_pallas, dtype=self.dtype,
                                name="attn")(h)
         x = x + h
+        if self.token_mlp == "mix_skip" and self.use_pallas:
+            # norm2 + FFN + residual fold into the fused MixFFN_skip
+            # kernel (groups=1 -> plain LN); param tree identical to the
+            # unfolded branch (norm2 holder + same "mlp" leaves), so
+            # train (unfolded) and eval share one checkpoint.
+            from transception_tpu.ops.common import _LNParams
+            ls2, lb2 = _LNParams(self.dim, name="norm2")()
+            return MixFFNSkip(self.dim, self.dim * 4, use_pallas=True,
+                              dtype=self.dtype, name="mlp")(
+                x, H, W, pre_ln=(ls2, lb2, 1, 1e-5), residual=True)
         h = LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = make_ffn(self.token_mlp, self.dim, self.dim * 4, self.dtype,
                      "mlp", use_pallas=self.use_pallas)(h, H, W)

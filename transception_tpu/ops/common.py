@@ -129,13 +129,27 @@ class MixFFNSkip(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, H: int, W: int):
+    def __call__(self, x, H: int, W: int, pre_ln=None,
+                 residual: bool = False):
+        """pre_ln = (scale, bias, groups, eps): apply the CALLER'S LayerNorm
+        (e.g. the bridge's shared norm2, as a grouped LN on this wide
+        layout) before fc1; residual=True adds the raw (pre-LN) input to
+        the output. Both fold into the fused kernel when eligible —
+        removing the caller's full-stream LN pass and separate residual
+        add from XLA (the bridge layer's two remaining per-layer stream
+        passes, MSTr.py:2402-2407)."""
         if self.use_pallas:
             from transception_tpu.ops.pallas.mixffn import (
                 can_fuse,
+                can_fuse_ln,
                 fused_mixffn,
+                fused_mixffn_ln,
             )
-            if can_fuse(x.shape, H, W, self.c2, x.dtype):
+            folded = (pre_ln is not None and residual and
+                      can_fuse_ln(x.shape, H, W, self.c2, pre_ln[2],
+                                  x.dtype))
+            if folded or (pre_ln is None and
+                          can_fuse(x.shape, H, W, self.c2, x.dtype)):
                 w1, b1 = _DenseParams((x.shape[-1], self.c2), name="fc1")()
 
                 class _ConvHolder(nn.Module):
@@ -149,17 +163,33 @@ class MixFFNSkip(nn.Module):
                 dwk, dwb = _ConvHolder(self.c2, name="dwconv")()
                 ls, lb = _LNParams(self.c2, name="norm1")()
                 w2, b2 = _DenseParams((self.c2, self.c1), name="fc2")()
+                if folded:
+                    pls, plb, groups, peps = pre_ln
+                    return fused_mixffn_ln(
+                        x.astype(self.dtype), jnp.tile(pls, groups),
+                        jnp.tile(plb, groups), w1, b1,
+                        dwk.reshape(3, 3, self.c2), dwb, ls, lb, w2, b2,
+                        s=H, hidden=self.c2, groups=groups, eps_ln=peps)
                 return fused_mixffn(
                     x.astype(self.dtype), w1, b1,
                     dwk.reshape(3, 3, self.c2), dwb, ls, lb, w2, b2,
                     s=H, hidden=self.c2)
+        x0 = x
+        if pre_ln is not None:
+            from transception_tpu.ops.pallas.mixffn import group_ln
+            pls, plb, groups, peps = pre_ln
+            x = group_ln(x.astype(self.dtype), jnp.tile(pls, groups),
+                         jnp.tile(plb, groups), groups, peps)
         h = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=xavier, name="fc1")(x)
         d = DWConv(self.c2, dtype=self.dtype, name="dwconv")(h, H, W)
         a = LayerNorm(dtype=self.dtype, name="norm1")(d + h)
         a = gelu(a)
-        return nn.Dense(self.c1, dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=xavier, name="fc2")(a)
+        out = nn.Dense(self.c1, dtype=self.dtype, param_dtype=jnp.float32,
+                       kernel_init=xavier, name="fc2")(a)
+        if residual:
+            out = out + x0.astype(out.dtype)
+        return out
 
 
 class MLPFFN(nn.Module):

@@ -65,3 +65,64 @@ def fused_bridge_attention(q, k, v, scale: float):
     if not bak.eligible(q.shape, k.shape, q.dtype):
         return None
     return _fused(q, k, v, scale)
+
+
+# ---- q/proj/residual-folded variant (eval path) ----
+
+def can_fold_attention(x_shape, k_shape, heads: int, dtype) -> bool:
+    if _target_platform() != "tpu":
+        return False
+    from transception_tpu.ops.pallas import bridge_attention_kernel as bak
+    return bak.eligible_folded(x_shape, k_shape, heads, dtype)
+
+
+def _reference_folded(x, res, wq, bq, k, v, wp, bp, scale):
+    """jnp mirror of the folded kernel (for the VJP): res + proj(MHA(x)),
+    with the XLA path's rounding points (models/bridge.py
+    MEfficientSelfAtten)."""
+    B, N, C = x.shape
+    _, heads, M, d = k.shape
+    dt = x.dtype
+    f32 = jnp.float32
+    q = (jnp.einsum("bnc,cd->bnd", x, wq.astype(dt),
+                    preferred_element_type=f32)
+         + bq.astype(f32)).astype(dt)
+    q = q.reshape(B, N, heads, d).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k.astype(dt),
+                        preferred_element_type=f32) * scale
+    p = jax.nn.softmax(logits, axis=-1).astype(dt)
+    out = jnp.einsum("bhnm,bhmd->bhnd", p, v.astype(dt),
+                     preferred_element_type=f32).astype(dt)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    proj = (jnp.einsum("bnc,cd->bnd", out, wp.astype(dt),
+                       preferred_element_type=f32)
+            + bp.astype(f32)).astype(dt)
+    return (proj.astype(f32) + res.astype(f32)).astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _fused_folded(x, res, wq, bq, k, v, wp, bp, scale):
+    from transception_tpu.ops.pallas import bridge_attention_kernel as bak
+    return bak.bridge_attention_folded(x, res, wq, bq, k, v, wp, bp,
+                                       scale=scale)
+
+
+def _fused_folded_fwd(x, res, wq, bq, k, v, wp, bp, scale):
+    args = (x, res, wq, bq, k, v, wp, bp)
+    return _fused_folded(*args, scale), args
+
+
+def _fused_folded_bwd(scale, resids, g):
+    # Training uses the UNFOLDED kernel (flash backward); this VJP exists
+    # only so a stray grad through an eval-configured model is correct.
+    _, vjp = jax.vjp(lambda *a: _reference_folded(*a, scale), *resids)
+    return vjp(g)
+
+
+_fused_folded.defvjp(_fused_folded_fwd, _fused_folded_bwd)
+
+
+def fused_bridge_attention_folded(x, res, wq, bq, k, v, wp, bp,
+                                  scale: float):
+    """res + proj(MHA(x)) in one kernel; call can_fold_attention first."""
+    return _fused_folded(x, res, wq, bq, k, v, wp, bp, scale)

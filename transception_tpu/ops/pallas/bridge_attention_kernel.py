@@ -38,6 +38,21 @@ def eligible(q_shape, k_shape, dtype) -> bool:
     return need <= _VMEM_BUDGET_BYTES and M >= 8 and d >= 8
 
 
+def eligible_folded(x_shape, k_shape, heads: int, dtype) -> bool:
+    """Gate for the q/proj/residual-folded variant (adds the (tile, C)
+    fp32 accumulator and the two C-wide stream tiles)."""
+    B, N, C = x_shape
+    if heads < 1 or C % heads:
+        return False
+    d = C // heads
+    M = k_shape[2]
+    itemsize = jnp.dtype(dtype).itemsize
+    tile = min(_TILE_N, N)
+    need = ((2 * tile * C + 2 * M * d) * itemsize + tile * M * 4
+            + tile * C * 4 + tile * d * 4)
+    return need <= _VMEM_BUDGET_BYTES and M >= 8 and d >= 8
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]
     k = k_ref[0]
@@ -52,6 +67,59 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         p, v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _folded_kernel(x_ref, r_ref, wq_ref, bq_ref, k_ref, v_ref, wp_ref,
+                   bp_ref, o_ref, acc_ref, *, scale: float, heads: int):
+    """q-projection, per-head attention, output projection and the layer
+    residual in one kernel. Grid (B, n_tiles, heads) with heads INNERMOST:
+    the (b, j) output block is revisited across h, accumulating each
+    head's proj contribution in the fp32 scratch — numerically identical
+    to XLA's single (C, C) proj matmul over the concatenated heads (fp32
+    accumulation, same per-head rounding points: q-Dense rounds to the
+    compute dtype, attention out rounds before proj).
+
+    Removes from XLA: the q Dense (+its (B,N,h,d) head transpose), the
+    output head-merge transpose, the proj Dense, and the residual add —
+    each a full pass over the ~100 MB token stream at the published
+    shapes (MSTr.py:2254-2292; ops path models/bridge.py
+    MEfficientSelfAtten)."""
+    h = pl.program_id(2)
+    dt = o_ref.dtype
+    f32 = jnp.float32
+    x = x_ref[0]                                    # (tile, C) dt
+    q = jax.lax.dot_general(
+        x, wq_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + bq_ref[0].astype(f32)
+    q = q.astype(dt)                                # Dense rounding
+    k = k_ref[0, 0]                                 # (M, d)
+    v = v_ref[0, 0]
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32) * scale
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
+    out = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(dt)      # attn-out rounding
+    part = jax.lax.dot_general(
+        out, wp_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                 # (tile, C) fp32
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(h > 0)
+    def _accum():
+        acc_ref[...] += part
+
+    @pl.when(h == heads - 1)
+    def _emit():
+        proj = (acc_ref[...] + bp_ref[...].astype(f32)).astype(dt)
+        o_ref[0] = (proj.astype(f32)
+                    + r_ref[0].astype(f32)).astype(dt)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
@@ -215,3 +283,67 @@ def bridge_softmax_attention(q, k, v, scale: float,
     if pad:
         out = out[:, :N]
     return out.reshape(B, h, N, d)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def bridge_attention_folded(x, res, wq, bq, k, v, wp, bp, scale: float,
+                            interpret: bool = False):
+    """Folded bridge spatial attention: x is the post-norm1 (B, N, C)
+    token stream, res the raw layer input; k/v: (B, heads, M, d) from the
+    Scale_reduce'd KV Dense. Returns res + proj(MHA(x)) — see
+    _folded_kernel. Weights are re-laid out with the head axis leading
+    ((heads, C, d) / (heads, d, C)) so every block keeps full, aligned
+    trailing dims (Mosaic rejects lane-dim sub-blocking)."""
+    B, N, C = x.shape
+    _, heads, M, d = k.shape
+    if not eligible_folded(x.shape, k.shape, heads, x.dtype):
+        raise NotImplementedError("shape ineligible for the folded kernel")
+    tile = min(_TILE_N, N)
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    if pad:
+        # Tail rows produce finite garbage (uniform-softmax attn + res);
+        # sliced away below — same invariant as the unfolded kernel.
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        res = jnp.pad(res, ((0, 0), (0, pad), (0, 0)))
+    dt = x.dtype
+    wq_r = wq.astype(dt).reshape(C, heads, d).transpose(1, 0, 2)
+    bq_r = bq.reshape(heads, d)
+    wp_r = wp.astype(dt).reshape(heads, d, C)
+
+    out = pl.pallas_call(
+        functools.partial(_folded_kernel, scale=scale, heads=heads),
+        grid=(B, n_tiles, heads),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, j, h: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda b, j, h: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, d), lambda b, j, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda b, j, h: (h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M, d), lambda b, j, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M, d), lambda b, j, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, C), lambda b, j, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b, j, h: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, j, h: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile, C), dt),
+        scratch_shapes=[pltpu.VMEM((tile, C), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * N * M * 2 * d
+            + 2 * B * N * C * C * 2,
+            bytes_accessed=B * N * C * 3 * jnp.dtype(dt).itemsize,
+            transcendentals=B * heads * N * M,
+        ),
+        interpret=interpret,
+    )(x, res, wq_r, bq_r, k.astype(dt), v.astype(dt), wp_r, bp)
+    if pad:
+        out = out[:, :N]
+    return out

@@ -90,3 +90,72 @@ def fused_mixffn(x, w1, b1, dw, dwb, ls, lb, w2, b2, s: int, hidden: int,
                  eps: float = 1e-5):
     """Fused fc1 -> dwconv+skip -> LN -> gelu -> fc2; call can_fuse first."""
     return _fused(x, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden, eps)
+
+
+# ---- LN+residual-folded variant (bridge norm2 + post-FFN residual) ----
+
+def can_fuse_ln(x_shape, H: int, W: int, hidden: int, groups: int,
+                dtype) -> bool:
+    if H != W or _target_platform() != "tpu":
+        return False
+    from transception_tpu.ops.pallas import mixffn_kernel as mk
+    return mk.eligible_ln(x_shape, x_shape[-1], hidden, groups, dtype)
+
+
+def group_ln(x, lts, ltb, groups: int, eps: float = 1e-5):
+    """Grouped LayerNorm on the wide (B, N, C) layout: every C-wide row
+    holds `groups` tokens of width C/groups, each normalized
+    independently — exactly the bridge's norm2 (a plain LN on the
+    (B, N·groups, C/groups) stream view) evaluated without leaving the
+    per-scale wide layout. lts/ltb are the (C,)-tiled scale/bias."""
+    B, N, C = x.shape
+    dt = x.dtype
+    g = C // groups
+    xr = x.astype(jnp.float32).reshape(B, N, groups, g)
+    mean = jnp.mean(xr, axis=-1, keepdims=True)
+    var = jnp.mean(xr * xr, axis=-1, keepdims=True) - mean * mean
+    xn = ((xr - mean) * jax.lax.rsqrt(var + eps)).reshape(B, N, C)
+    return (xn * lts.astype(jnp.float32)
+            + ltb.astype(jnp.float32)).astype(dt)
+
+
+def _reference_impl_ln(x, lts, ltb, w1, b1, dw, dwb, ls, lb, w2, b2,
+                       s, hidden, groups, eps_ln, eps):
+    """jnp mirror of the folded kernel: x + mixffn(groupLN(x))."""
+    xn = group_ln(x, lts, ltb, groups, eps_ln)
+    out = _reference_impl(xn, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden,
+                          eps)
+    return (out.astype(jnp.float32) + x.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+def _fused_ln(x, lts, ltb, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden,
+              groups, eps_ln, eps):
+    from transception_tpu.ops.pallas import mixffn_kernel as mk
+    return mk.fused_mixffn_ln_skip(x, lts, ltb, w1, b1, dw, dwb, ls, lb,
+                                   w2, b2, s=s, hidden=hidden,
+                                   groups=groups, eps_ln=eps_ln, eps=eps)
+
+
+def _fused_ln_fwd(x, lts, ltb, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden,
+                  groups, eps_ln, eps):
+    args = (x, lts, ltb, w1, b1, dw, dwb, ls, lb, w2, b2)
+    return _fused_ln(*args, s, hidden, groups, eps_ln, eps), args
+
+
+def _fused_ln_bwd(s, hidden, groups, eps_ln, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _reference_impl_ln(*a, s, hidden, groups, eps_ln, eps),
+        *res)
+    return vjp(g)
+
+
+_fused_ln.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+
+
+def fused_mixffn_ln(x, lts, ltb, w1, b1, dw, dwb, ls, lb, w2, b2, s: int,
+                    hidden: int, groups: int, eps_ln: float = 1e-5,
+                    eps: float = 1e-5):
+    """Folded x + mixffn(groupLN(x)); call can_fuse_ln first."""
+    return _fused_ln(x, lts, ltb, w1, b1, dw, dwb, ls, lb, w2, b2,
+                     s, hidden, groups, eps_ln, eps)

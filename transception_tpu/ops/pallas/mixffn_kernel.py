@@ -59,23 +59,21 @@ def eligible(x_shape, C: int, hidden: int, dtype) -> bool:
     return _pick_rows(s, C, hidden, itemsize) > 0
 
 
-def _kernel(x_ref, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
-            w2_ref, b2_ref, o_ref, hp_ref, *, s: int, rows: int,
-            hidden: int, eps: float):
-    dt = o_ref.dtype
-    j = pl.program_id(1)
-    r0 = j * rows
-    R = rows + 2
-    # Window [start, start+R) clamped into the map; targets at off=r0-start.
-    start = jnp.clip(r0 - 1, 0, s - R)
-    off = r0 - start
+def eligible_ln(x_shape, C: int, hidden: int, groups: int, dtype) -> bool:
+    """Gate for the LN+residual-folded variant: same geometry as
+    eligible() plus the (rows+2, s, C) fp32 group-LN temporaries (small
+    next to the hidden window — C = hidden/4)."""
+    if groups < 1 or C % groups:
+        return False
+    return eligible(x_shape, C, hidden, dtype)
 
-    # x is laid out (1, s, s, C); slicing whole rows on dim 1 keeps the
-    # dynamic index off the tiled (sublane/lane) dims, which Mosaic
-    # requires to be statically 8-aligned otherwise. All computation
-    # stays in (rows, cols, feature) 3-D form — Mosaic cannot shape-cast
-    # across the tiled dims.
-    xw = x_ref[0, pl.ds(start, R), :, :]                 # (R, s, C)
+
+def _ffn_body(xw, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
+              w2_ref, b2_ref, hp_ref, *, s: int, rows: int, hidden: int,
+              eps: float, off, dt):
+    """fc1 -> dwconv+skip -> LN -> GELU -> fc2 on one compute-dtype halo
+    window xw (R, s, C); returns the fp32 (rows, s, C_out) tile (shared by
+    the plain kernel and the LN+residual-folded variant)."""
     h = jax.lax.dot_general(
         xw, w1_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) \
@@ -128,11 +126,80 @@ def _kernel(x_ref, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
     erf_z = jnp.sign(z) * erf_abs
     a = (0.5 * af * (1.0 + erf_z)).astype(dt)
 
-    out = jax.lax.dot_general(
+    return jax.lax.dot_general(
         a, w2_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) \
         + b2_ref[...].astype(jnp.float32)
+
+
+def _window(j: int, rows: int, s: int):
+    """Clamped halo window [start, start+rows+2) and the in-window offset
+    of the target rows."""
+    r0 = j * rows
+    start = jnp.clip(r0 - 1, 0, s - (rows + 2))
+    return r0, start, r0 - start
+
+
+def _kernel(x_ref, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
+            w2_ref, b2_ref, o_ref, hp_ref, *, s: int, rows: int,
+            hidden: int, eps: float):
+    dt = o_ref.dtype
+    _, start, off = _window(pl.program_id(1), rows, s)
+    # x is laid out (1, s, s, C); slicing whole rows on dim 1 keeps the
+    # dynamic index off the tiled (sublane/lane) dims, which Mosaic
+    # requires to be statically 8-aligned otherwise. All computation
+    # stays in (rows, cols, feature) 3-D form — Mosaic cannot shape-cast
+    # across the tiled dims.
+    xw = x_ref[0, pl.ds(start, rows + 2), :, :]          # (R, s, C)
+    out = _ffn_body(xw, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
+                    w2_ref, b2_ref, hp_ref, s=s, rows=rows, hidden=hidden,
+                    eps=eps, off=off, dt=dt)
     o_ref[0] = out.astype(dt)
+
+
+def _kernel_ln(x_ref, sel_ref, selt_ref, lts_ref, ltb_ref, w1_ref, b1_ref,
+               dw_ref, dwb_ref, ls_ref, lb_ref, w2_ref, b2_ref, o_ref,
+               hp_ref, *, s: int, rows: int, hidden: int, groups: int,
+               eps_ln: float, eps: float):
+    """LN+residual-folded variant: the input map is PRE-norm (the bridge
+    layer's tx1 = inputs + attn, MSTr.py:2402-2407); the bridge's norm2 is
+    applied in-kernel as a grouped LayerNorm — each s²-token row of the
+    wide (s², C·mult) layout holds `groups` bridge tokens of width
+    C = dim, normalized independently (group stats via 0/1 selector dots:
+    Mosaic cannot shape-cast the lane dim) — and the layer's post-FFN
+    residual (+tx1) is added before the single HBM write. Removes the
+    full-stream norm2 pass and the separate residual add from XLA."""
+    dt = o_ref.dtype
+    f32 = jnp.float32
+    r0, start, off = _window(pl.program_id(1), rows, s)
+    xraw = x_ref[0, pl.ds(start, rows + 2), :, :]        # (R, s, C) dt
+    xf = xraw.astype(f32)
+    gsz = (xf.shape[-1]) // groups
+    ssum = jax.lax.dot_general(                          # (R, s, groups)
+        xf, sel_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    ssq = jax.lax.dot_general(
+        xf * xf, sel_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    mean = ssum / gsz
+    inv = jax.lax.rsqrt(ssq / gsz - mean * mean + eps_ln)
+    mean_b = jax.lax.dot_general(                        # (R, s, C)
+        mean, selt_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    inv_b = jax.lax.dot_general(
+        inv, selt_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    xn = (xf - mean_b) * inv_b * lts_ref[...].astype(f32) \
+        + ltb_ref[...].astype(f32)
+    xw = xn.astype(dt)                                   # LN output dtype
+    out = _ffn_body(xw, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
+                    w2_ref, b2_ref, hp_ref, s=s, rows=rows, hidden=hidden,
+                    eps=eps, off=off, dt=dt)
+    # Residual on the raw (pre-norm) rows — re-read from the resident ref
+    # (dynamic starts only lower on refs); fc2 rounds to dt first so the
+    # sum matches XLA's bf16 `tx1 + concat(ffn)` add bit pattern.
+    xt = x_ref[0, pl.ds(r0, rows), :, :].astype(f32)
+    o_ref[0] = (out.astype(dt).astype(f32) + xt).astype(dt)
 
 
 @functools.partial(
@@ -186,4 +253,75 @@ def fused_mixffn_skip(x, w1, b1, dw, dwb, ln_scale, ln_bias, w2, b2, *,
         interpret=interpret,
     )(x.reshape(B, s, s, C), w1.astype(x.dtype), b1, dw.astype(x.dtype),
       dwb, ln_scale, ln_bias, w2.astype(x.dtype), b2)
+    return out.reshape(B, N, C)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "hidden", "groups", "eps_ln", "eps",
+                              "interpret"))
+def fused_mixffn_ln_skip(x, lts, ltb, w1, b1, dw, dwb, ln_scale, ln_bias,
+                         w2, b2, *, s: int, hidden: int, groups: int,
+                         eps_ln: float = 1e-5, eps: float = 1e-5,
+                         interpret: bool = False):
+    """LN+residual-folded MixFFN_skip: x is the PRE-norm (B, s², C) wide
+    map; lts/ltb are the bridge norm2 scale/bias pre-tiled to (C,)
+    (C = groups · bridge_dim). Returns x + mixffn(groupLN(x)) — one HBM
+    read of x, one write, no full-stream norm2 pass or separate residual
+    add in XLA (see _kernel_ln)."""
+    B, N, C = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    rows = _pick_rows(s, C, hidden, itemsize)
+    if rows == 0 or C % groups:
+        raise NotImplementedError("no row tiling fits")
+    f32 = jnp.float32
+    gsz = C // groups
+    gid = jnp.arange(C, dtype=jnp.int32) // gsz
+    sel = (gid[:, None] == jnp.arange(groups)[None, :]).astype(f32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_ln, s=s, rows=rows, hidden=hidden,
+                          groups=groups, eps_ln=eps_ln, eps=eps),
+        grid=(B, s // rows),
+        in_specs=[
+            pl.BlockSpec((1, s, s, C), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, groups), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, hidden), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, s, C), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, s, s, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 4, s + 2, hidden), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * hidden * 2 + B * N * hidden * 9 * 2,
+            bytes_accessed=2 * B * N * C * itemsize,
+            transcendentals=B * N * hidden,
+        ),
+        interpret=interpret,
+    )(x.reshape(B, s, s, C), sel, sel.T, lts, ltb,
+      w1.astype(x.dtype), b1, dw.astype(x.dtype), dwb, ln_scale, ln_bias,
+      w2.astype(x.dtype), b2)
     return out.reshape(B, N, C)

@@ -151,7 +151,8 @@ class Trainer:
             self.train_model = MSTransception(
                 _dc.replace(self.model.cfg, use_pallas=False,
                             bridge_use_pallas=True,
-                            bridge_ffn_use_pallas=False))
+                            bridge_ffn_use_pallas=False,
+                            bridge_attn_fold=False))
         else:
             self.train_model = self.model
         self.mesh = make_mesh(train_cfg.dp_size, train_cfg.tp_size)
