@@ -48,7 +48,10 @@ def eligible_folded(x_shape, k_shape, heads: int, dtype) -> bool:
     M = k_shape[2]
     itemsize = jnp.dtype(dtype).itemsize
     tile = min(_TILE_N, N)
-    need = ((2 * tile * C + 2 * M * d) * itemsize + tile * M * 4
+    # K/V resident with ALL heads (heads*M*d = M*C each, fetched once per
+    # batch row), plus the two C-wide stream tiles, the fp32 logits tile
+    # and the fp32 proj accumulator.
+    need = ((2 * tile * C + 2 * M * C) * itemsize + tile * M * 4
             + tile * C * 4 + tile * d * 4)
     return need <= _VMEM_BUDGET_BYTES and M >= 8 and d >= 8
 
@@ -92,8 +95,11 @@ def _folded_kernel(x_ref, r_ref, wq_ref, bq_ref, k_ref, v_ref, wp_ref,
         x, wq_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32) + bq_ref[0].astype(f32)
     q = q.astype(dt)                                # Dense rounding
-    k = k_ref[0, 0]                                 # (M, d)
-    v = v_ref[0, 0]
+    # K/V blocks hold ALL heads for the batch row (index constant in j
+    # and h -> fetched once per b, not per grid step); the head slice is
+    # a dynamic index on an untiled leading dim.
+    k = k_ref[0, h]                                 # (M, d)
+    v = v_ref[0, h]
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32) * scale
@@ -323,9 +329,9 @@ def bridge_attention_folded(x, res, wq, bq, k, v, wp, bp, scale: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda b, j, h: (h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M, d), lambda b, j, h: (b, h, 0, 0),
+            pl.BlockSpec((1, heads, M, d), lambda b, j, h: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M, d), lambda b, j, h: (b, h, 0, 0),
+            pl.BlockSpec((1, heads, M, d), lambda b, j, h: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, C), lambda b, j, h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
