@@ -48,21 +48,41 @@ def main():
     from transception_tpu.utils.profiling import device_time_per_call
 
     cfg = TransceptionConfig()  # bf16 compute, published arch
-    model = MSTransception(cfg)
 
     # b=128 saturates the chip; larger batches no longer help.
     batch = 128
     x = jnp.zeros((batch, 224, 224, 1), jnp.float32)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), x, train=False)
 
-    def fwd(v, x):
-        # argmax=True computes the head conv + class argmax pre-shuffle
-        # (exact commutation with the pixel shuffle; kills two measured
-        # layout copies — models/decoder.py argmax_head).
-        return model.apply(v, x, train=False, argmax=True)
+    # Kernel-fallback ladder: if a Pallas kernel config fails to compile
+    # on this Mosaic/libtpu build, step down (folds off, then all kernels
+    # off) instead of losing the round's bench artifact.
+    import dataclasses as _dc
+    import sys as _sys
+    last_err = None
+    for over in ({}, dict(bridge_attn_fold=False, bridge_ffn_use_pallas=False),
+                 dict(use_pallas=False)):
+        try:
+            model = MSTransception(_dc.replace(cfg, **over) if over else cfg)
+            variables = jax.jit(model.init, static_argnames=("train",))(
+                jax.random.PRNGKey(0), x, train=False)
 
-    compiled = jax.jit(fwd).lower(variables, x).compile()
+            def fwd(v, x):
+                # argmax=True computes the head conv + class argmax
+                # pre-shuffle (exact commutation with the pixel shuffle;
+                # kills two measured layout copies — decoder.py argmax_head).
+                return model.apply(v, x, train=False, argmax=True)
+
+            compiled = jax.jit(fwd).lower(variables, x).compile()
+            compiled(variables, x).block_until_ready()
+            if over:
+                print(f"bench: kernel fallback engaged: {over}",
+                      file=_sys.stderr)
+            break
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            last_err = e
+            continue
+    else:
+        raise last_err
     ca = compiled.cost_analysis()
     if isinstance(ca, list):  # older jax returns [dict]
         ca = ca[0]
