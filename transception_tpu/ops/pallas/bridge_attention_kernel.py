@@ -65,10 +65,13 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32) * scale
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
+    # Normalize on the (tile, d) OUTPUT instead of dividing the (tile, M)
+    # probability matrix — one fewer full VPU pass over the logits tile
+    # (d << M). Differs from dividing-then-rounding by <= 1 output ULP.
     out = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        e.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    out = out / jnp.sum(e, axis=1, keepdims=True)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -105,10 +108,12 @@ def _folded_kernel(x_ref, r_ref, wq_ref, bq_ref, k_ref, v_ref, wp_ref,
         preferred_element_type=f32) * scale
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
+    # Normalize on the (tile, d) output, not the (tile, M) matrix (see
+    # _kernel) — saves a full VPU pass over the logits tile per step.
     out = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32).astype(dt)      # attn-out rounding
+        e.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    out = (out / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
     part = jax.lax.dot_general(
         out, wp_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32)                 # (tile, C) fp32
