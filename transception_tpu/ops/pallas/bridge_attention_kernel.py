@@ -151,20 +151,27 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
         preferred_element_type=f32) * scale
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)          # (tile, M)
-    # dV += Pᵀ g ; dP = g Vᵀ ; dL = P∘(dP − rowsum(P∘dP))
+    # Exact gradients with 1/rowsum factored onto the (tile, d)/(tile, 1)
+    # side of every product, so no division pass ever runs over the
+    # (tile, M) matrix: with P = E/s (s = rowsum(E)),
+    #   dV = Pᵀg = Eᵀ(g/s);  dL = P∘(dP − rowsum(P∘dP)) = T/s,
+    #   T = E∘(dP − rowsum(E∘dP)/s);  dQ = (T·K)·scale/s;
+    #   dK = Tᵀ(q/s)·scale.
+    s = jnp.sum(e, axis=1, keepdims=True)              # (tile, 1)
+    gs = g / s                                         # (tile, d)
     dv = jax.lax.dot_general(
-        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        e, gs, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32)                    # (M, d)
     dp = jax.lax.dot_general(
         g, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32)                    # (tile, M)
-    dl = p * (dp - jnp.sum(p * dp, axis=1, keepdims=True))
+    c = jnp.sum(e * dp, axis=1, keepdims=True) / s     # rowsum(P∘dP)
+    t = e * (dp - c)                                   # (tile, M)
     dq = jax.lax.dot_general(
-        dl, k, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) * scale            # (tile, d)
+        t, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) * (scale / s)      # (tile, d)
     dk = jax.lax.dot_general(
-        dl, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        t, q / s, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32) * scale            # (M, d)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
