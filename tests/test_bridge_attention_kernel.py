@@ -145,7 +145,8 @@ def _folded_inputs(B, N, C, heads, M, seed=30, dtype=jnp.bfloat16):
 
 
 @pytest.mark.parametrize("B,N,C,heads,M", [
-    (2, 1024, 64, 8, 96),    # bridge-like: 8 heads of d=8, tile-multiple N
+    (2, 1024, 64, 1, 96),    # the PUBLISHED bridge: head=1, d=64
+    (2, 1024, 64, 8, 96),    # 8 heads of d=8, tile-multiple N
     (1, 600, 64, 8, 96),     # pad/slice path
     (1, 512, 128, 4, 64),    # d=32
 ])
