@@ -59,7 +59,8 @@ def main():
     import dataclasses as _dc
     import sys as _sys
     last_err = None
-    for over in ({}, dict(bridge_attn_fold=False, bridge_ffn_use_pallas=False),
+    for over in ({}, dict(bridge_attn_fold=False, bridge_ffn_use_pallas=False,
+                          etb_attn_fold=False),
                  dict(use_pallas=False)):
         try:
             model = MSTransception(_dc.replace(cfg, **over) if over else cfg)

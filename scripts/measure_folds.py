@@ -38,8 +38,10 @@ def main():
         ("all-on", {}),
         ("attn-off", dict(bridge_attn_fold=False)),
         ("ffn-off", dict(bridge_ffn_use_pallas=False)),
+        ("etb-off", dict(etb_attn_fold=False)),
         ("folds-off", dict(bridge_attn_fold=False,
-                           bridge_ffn_use_pallas=False)),
+                           bridge_ffn_use_pallas=False,
+                           etb_attn_fold=False)),
     ]
     import numpy as np
     xr = jnp.asarray(

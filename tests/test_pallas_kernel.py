@@ -94,3 +94,160 @@ def test_efficient_attention_use_pallas_flag_safe_on_cpu():
     a = efficient_linear_attention(q, k, v, use_pallas=True)
     b = efficient_linear_attention(q, k, v, use_pallas=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+# ---- whole-block ETB fold: LN1 + QKV + attention + reproj + residual ----
+
+def _etb_fold_params(C, seed=50):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.05,  # noqa: E731
+                                jnp.float32)
+    return dict(
+        ls=jnp.asarray(1.0 + 0.1 * rng.normal(size=C), jnp.float32),
+        lb=mk(C), wq=mk(C, C), bq=mk(C), wk=mk(C, C), bk=mk(C),
+        wv=mk(C, C), bv=mk(C), wp=mk(C, C), bp=mk(C))
+
+
+_ETB_ORDER = ("wq", "bq", "wk", "bk", "wv", "bv", "wp", "bp")
+
+
+@pytest.mark.parametrize("B,N,C", [(2, 256, 64), (1, 784, 128),
+                                   (1, 196, 320)])
+def test_etb_folded_kernel_matches_reference(B, N, C):
+    from transception_tpu.ops.pallas.linear_attention import (
+        _reference_etb_folded,
+    )
+    from transception_tpu.ops.pallas.linear_attention_kernel import (
+        efficient_attention_block_folded,
+        eligible_folded,
+    )
+    p = _etb_fold_params(C)
+    x = _rand((B, N, C), 7, jnp.bfloat16)
+    assert eligible_folded(x.shape, x.dtype)
+    args = [p["ls"], p["lb"]] + [p[k] for k in _ETB_ORDER]
+    got = efficient_attention_block_folded(x, *args, interpret=True)
+    want = _reference_etb_folded(x, *args, 1e-5)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.02, atol=0.0625)
+
+
+def test_etb_folded_vmem_gate_raises():
+    from transception_tpu.ops.pallas.linear_attention_kernel import (
+        efficient_attention_block_folded,
+        eligible_folded,
+    )
+    big = jnp.zeros((1, 8192, 512), jnp.float32)
+    assert not eligible_folded(big.shape, big.dtype)
+    p = _etb_fold_params(512)
+    args = [p["ls"], p["lb"]] + [p[k] for k in _ETB_ORDER]
+    with pytest.raises(NotImplementedError):
+        efficient_attention_block_folded(big, *args, interpret=True)
+
+
+def test_etb_folded_matches_module_composition():
+    """The folded reference (and hence the kernel, by the parity test
+    above) must equal the unfolded LN -> EfficientAttention -> residual
+    subgraph of EfficientTransformerBlock at bf16 resolution."""
+    from flax import linen as nn
+
+    from transception_tpu.ops.attention import EfficientAttention
+    from transception_tpu.ops.common import LayerNorm
+    from transception_tpu.ops.pallas.linear_attention import (
+        _reference_etb_folded,
+    )
+
+    B, N, C = 1, 256, 64
+
+    class _Unfolded(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = LayerNorm(dtype=jnp.bfloat16, name="norm1")(x)
+            h = EfficientAttention(C, C, head_count=1,
+                                   dtype=jnp.bfloat16, name="attn")(h)
+            return x + h
+
+    x = _rand((B, N, C), 13, jnp.bfloat16)
+    m = _Unfolded()
+    v = m.init(jax.random.PRNGKey(3), x)
+    prm = v["params"]
+    want = m.apply(v, x)
+    got = _reference_etb_folded(
+        x, prm["norm1"]["ln"]["scale"], prm["norm1"]["ln"]["bias"],
+        prm["attn"]["queries"]["kernel"], prm["attn"]["queries"]["bias"],
+        prm["attn"]["keys"]["kernel"], prm["attn"]["keys"]["bias"],
+        prm["attn"]["values"]["kernel"], prm["attn"]["values"]["bias"],
+        prm["attn"]["reprojection"]["kernel"],
+        prm["attn"]["reprojection"]["bias"], 1e-5)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.02, atol=0.0625)
+
+
+def test_etb_fold_param_tree_identical_between_branches(monkeypatch):
+    """EfficientTransformerBlock(use_pallas=True) with the fold engaged
+    must init the exact param tree of the unfolded branch (shared
+    checkpoints), and its outputs must match at bf16 resolution."""
+    import transception_tpu.ops.pallas.linear_attention as fa
+    import transception_tpu.ops.pallas.linear_attention_kernel as lak
+    from transception_tpu.ops.attention import EfficientTransformerBlock
+
+    s, C = 16, 64
+    x = _rand((1, s * s, C), 21, jnp.bfloat16)
+
+    xla = EfficientTransformerBlock(C, C, C, use_pallas=False,
+                                    dtype=jnp.bfloat16)
+    v_xla = xla.init(jax.random.PRNGKey(0), x, s, s)
+
+    monkeypatch.setattr(fa, "_target_platform", lambda: "tpu")
+    orig = lak.efficient_attention_block_folded
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(lak, "efficient_attention_block_folded", interp)
+    fused = EfficientTransformerBlock(C, C, C, use_pallas=True,
+                                      dtype=jnp.bfloat16)
+    v_fused = fused.init(jax.random.PRNGKey(0), x, s, s)
+
+    fa_flat = jax.tree_util.tree_flatten_with_path(v_xla)[0]
+    fb = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_flatten_with_path(v_fused)[0]}
+    assert len(fa_flat) == len(fb)
+    for k, va in fa_flat:
+        ks = jax.tree_util.keystr(k)
+        assert ks in fb and va.shape == fb[ks].shape, ks
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(fb[ks]))
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(v_fused, x, s, s), np.float32),
+        np.asarray(xla.apply(v_xla, x, s, s), np.float32),
+        rtol=0.03, atol=0.125)
+
+
+def test_etb_fold_vjp_is_finite(monkeypatch):
+    """A stray grad through the folded block must be correct: the custom
+    VJP differentiates the jnp mirror."""
+    import transception_tpu.ops.pallas.linear_attention as fa
+    import transception_tpu.ops.pallas.linear_attention_kernel as lak
+
+    # Route the kernel call to the jnp mirror (the kernel itself is
+    # covered by the parity test above; this test checks the VJP wiring).
+    monkeypatch.setattr(
+        lak, "efficient_attention_block_folded",
+        lambda *a, eps=1e-5, **kw: fa._reference_etb_folded(*a, eps))
+    B, N, C = 1, 64, 64
+    p = _etb_fold_params(C)
+    x = _rand((B, N, C), 31, jnp.float32)
+    args = [p["ls"], p["lb"]] + [p[k] for k in _ETB_ORDER]
+
+    def loss_folded(x):
+        return jnp.sum(fa.fused_etb_attention_folded(x, *args) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(fa._reference_etb_folded(x, *args, 1e-5) ** 2)
+
+    ga = jax.grad(loss_folded)(x)
+    gb = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-5)

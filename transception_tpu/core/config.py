@@ -129,6 +129,11 @@ class TransceptionConfig:
     # recompute the attention, losing to the plain kernel's flash
     # Pallas backward in the train step.
     bridge_attn_fold: object = None  # Optional[bool]
+    # Folds each EfficientTransformerBlock's norm1 + QKV Denses + linear
+    # attention + reprojection + residual into ONE kernel (stage-1 and
+    # decoder blocks; None => follow use_pallas). Eval-path win — the
+    # trainer's use_pallas=False keeps it off in the train step.
+    etb_attn_fold: object = None  # Optional[bool]
     # Execute the num_path MHCA encoders of each stage as one vmapped
     # (path-stacked-params) call instead of sequentially — same math,
     # measured +14% inference / +81% training on v5e. Changes the param

@@ -175,7 +175,8 @@ class MSViT(nn.Module):
         for i in range(cfg.stage1_layers):
             t = EfficientTransformerBlock(
                 dims[0], dims[0], dims[0], token_mlp=cfg.token_mlp,
-                use_pallas=cfg.use_pallas, dtype=dt, name=f"block1_{i}")(
+                use_pallas=cfg.use_pallas, attn_fold=cfg.etb_attn_fold,
+                dtype=dt, name=f"block1_{i}")(
                 t, H, W)
         t = LayerNorm(dtype=dt, name="norm1")(t)
         m = t.reshape(t.shape[0], H, W, dims[0])
@@ -262,7 +263,8 @@ class MSViTCasa(nn.Module):
         for i in range(cfg.stage1_layers):
             t = EfficientTransformerBlock(
                 dims[0], dims[0], dims[0], token_mlp=cfg.token_mlp,
-                use_pallas=cfg.use_pallas, dtype=dt, name=f"block1_{i}")(
+                use_pallas=cfg.use_pallas, attn_fold=cfg.etb_attn_fold,
+                dtype=dt, name=f"block1_{i}")(
                 t, H, W)
         t = LayerNorm(dtype=dt, name="norm1")(t)
         m = t.reshape(t.shape[0], H, W, dims[0])

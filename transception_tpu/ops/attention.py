@@ -133,15 +133,63 @@ class EfficientTransformerBlock(nn.Module):
     value_dim: int
     token_mlp: str = "mix_skip"
     use_pallas: bool = False
+    # None -> follow use_pallas (the bridge-fold convention). The whole
+    # attention sub-block folds into one kernel; set False to keep the
+    # plain (per-op) kernels with use_pallas on.
+    attn_fold: object = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, H: int, W: int):
-        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = EfficientAttention(self.key_dim, self.value_dim, head_count=1,
-                               use_pallas=self.use_pallas, dtype=self.dtype,
-                               name="attn")(h)
-        x = x + h
+        folded_attn = False
+        want_fold = (self.use_pallas if self.attn_fold is None
+                     else bool(self.attn_fold))
+        if (want_fold and self.key_dim == self.dim
+                and self.value_dim == self.dim and x.shape[-1] == self.dim):
+            # Whole-block fold (eval path, like the bridge/FFN folds):
+            # norm1 + QKV Denses + linear attention + reprojection +
+            # residual in ONE kernel — the raw (B, N, C) stream crosses
+            # HBM once in, once out, instead of the module chain's ~12
+            # full-stream passes. Param holders mirror the module leaves
+            # (norm1/ln/*, attn/{keys,queries,values,reprojection}/*) so
+            # folded and unfolded structures share one checkpoint tree.
+            from transception_tpu.ops.pallas.linear_attention import (
+                can_fold_etb,
+                fused_etb_attention_folded,
+            )
+            if can_fold_etb(x.shape, self.dtype):
+                from transception_tpu.ops.common import (
+                    _DenseParams,
+                    _LNParams,
+                )
+
+                class _AttnParams(nn.Module):
+                    c: int
+
+                    @nn.compact
+                    def __call__(self):
+                        wk, bk = _DenseParams((self.c, self.c),
+                                              name="keys")()
+                        wq, bq = _DenseParams((self.c, self.c),
+                                              name="queries")()
+                        wv, bv = _DenseParams((self.c, self.c),
+                                              name="values")()
+                        wp, bp = _DenseParams((self.c, self.c),
+                                              name="reprojection")()
+                        return wq, bq, wk, bk, wv, bv, wp, bp
+
+                ls, lb = _LNParams(self.dim, name="norm1")()
+                ps = _AttnParams(self.dim, name="attn")()
+                x = fused_etb_attention_folded(
+                    x.astype(self.dtype), ls, lb, *ps)
+                folded_attn = True
+        if not folded_attn:
+            h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+            h = EfficientAttention(self.key_dim, self.value_dim,
+                                   head_count=1,
+                                   use_pallas=self.use_pallas,
+                                   dtype=self.dtype, name="attn")(h)
+            x = x + h
         if self.token_mlp == "mix_skip" and self.use_pallas:
             # norm2 + FFN + residual fold into the fused MixFFN_skip
             # kernel (groups=1 -> plain LN); param tree identical to the

@@ -69,3 +69,73 @@ def fused_linear_attention(q, k, v, q_softmax: bool = False):
     if not lak.eligible(q.shape, v.shape, q.dtype):
         return None
     return _fused(q, k, v, q_softmax)
+
+
+# ---- whole-block fold: LN1 + QKV + attention + reproj + residual ----
+
+def can_fold_etb(x_shape, dtype) -> bool:
+    if _target_platform() != "tpu":
+        return False
+    from transception_tpu.ops.pallas import linear_attention_kernel as lak
+    return lak.eligible_folded(x_shape, dtype)
+
+
+def _reference_etb_folded(x, ls, lb, wq, bq, wk, bk, wv, bv, wp, bp, eps):
+    """jnp mirror of _folded_etb_kernel (same rounding points) — the VJP
+    body and the CPU parity target. Matches the module composition
+    LN -> EfficientAttention -> residual (ops/attention.py:139-144,
+    head_count=1) at bf16 resolution."""
+    dt = x.dtype
+    f32 = jnp.float32
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    hn = ((xf - mu) * jax.lax.rsqrt(var + eps) * ls.astype(f32)
+          + lb.astype(f32)).astype(dt)
+
+    def dense(w, b):
+        y = jnp.einsum("bnc,cd->bnd", hn, w.astype(dt),
+                       preferred_element_type=f32) + b.astype(f32)
+        return y.astype(dt)
+
+    k = dense(wk, bk)
+    q = dense(wq, bq)
+    v = dense(wv, bv)
+    ks = jax.nn.softmax(k.astype(f32), axis=1).astype(dt)
+    qs = jax.nn.softmax(q.astype(f32), axis=2).astype(dt)
+    ctx = jnp.einsum("bnk,bnv->bkv", ks, v,
+                     preferred_element_type=f32).astype(dt)
+    att = jnp.einsum("bnk,bkv->bnv", qs, ctx,
+                     preferred_element_type=f32).astype(dt)
+    proj = (jnp.einsum("bnc,cd->bnd", att, wp.astype(dt),
+                       preferred_element_type=f32) + bp.astype(f32))
+    return (proj.astype(dt).astype(f32) + xf).astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _fused_etb(x, ls, lb, wq, bq, wk, bk, wv, bv, wp, bp, eps):
+    from transception_tpu.ops.pallas import linear_attention_kernel as lak
+    return lak.efficient_attention_block_folded(
+        x, ls, lb, wq, bq, wk, bk, wv, bv, wp, bp, eps=eps)
+
+
+def _fused_etb_fwd(x, ls, lb, wq, bq, wk, bk, wv, bv, wp, bp, eps):
+    args = (x, ls, lb, wq, bq, wk, bk, wv, bv, wp, bp)
+    return _fused_etb(*args, eps), args
+
+
+def _fused_etb_bwd(eps, resids, g):
+    # The fold is an eval-path optimization (the trainer builds the
+    # unfolded graph); this VJP keeps a stray grad correct.
+    _, vjp = jax.vjp(lambda *a: _reference_etb_folded(*a, eps), *resids)
+    return vjp(g)
+
+
+_fused_etb.defvjp(_fused_etb_fwd, _fused_etb_bwd)
+
+
+def fused_etb_attention_folded(x, ls, lb, wq, bq, wk, bk, wv, bv, wp, bp,
+                               eps: float = 1e-5):
+    """x + reproj(linear_attention(norm1(x))) in one kernel
+    (head_count=1); call can_fold_etb first."""
+    return _fused_etb(x, ls, lb, wq, bq, wk, bk, wv, bv, wp, bp, eps)

@@ -41,6 +41,120 @@ def eligible(q_shape, v_shape, dtype) -> bool:
     return 2 * need <= _VMEM_STACK_LIMIT and min(dk, dv) >= 64
 
 
+def eligible_folded(x_shape, dtype) -> bool:
+    """Gate for the whole-block fold (LN1 + QKV Dense + linear attention +
+    reprojection + residual in one kernel, head_count=1 — the only head
+    count the reference ever uses, MSTr.py:155). One batch row must fit
+    VMEM: the (N, C) stream in the compute dtype plus ~6 fp32 (N, C)
+    temporaries (LN, q/k/v, softmaxes) and the (C, C) context."""
+    B, N, C = x_shape
+    itemsize = jnp.dtype(dtype).itemsize
+    need = (2 * N * C * itemsize          # x in + out
+            + 6 * N * C * 4               # fp32 temporaries
+            + 5 * C * C * itemsize        # 4 weights + context
+            + N * 4 * 4)                  # LN/softmax row stats
+    return 2 * need <= _VMEM_STACK_LIMIT and C >= 64 and N >= 8
+
+
+def _folded_etb_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
+                       bk_ref, wv_ref, bv_ref, wp_ref, bp_ref, o_ref, *,
+                       eps: float):
+    """norm1 -> {q,k,v} Dense -> softmax_d(Q)·(softmax_N(K)ᵀ·V) ->
+    reprojection -> + raw-input residual, per batch row.
+
+    Removes from XLA (vs the module composition in
+    ops/attention.py:EfficientTransformerBlock): the norm1 read+write,
+    three QKV Dense stream passes, the attention core round-trip, the
+    reprojection pass and the residual add — HBM sees the raw (N, C) row
+    once in and once out. Rounding points follow the module path: each
+    Dense rounds its fp32 accumulator (+fp32 bias) to the compute dtype;
+    softmaxes run fp32 and round back; the context rounds before the
+    second contraction (ops/attention.py:49-55)."""
+    f32 = jnp.float32
+    dt = o_ref.dtype
+    x = x_ref[0]                               # (N, C) dt
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+    # Affine operands stay (1, C) 2-D — Mosaic lane-reshape restriction.
+    hn = ((xf - mu) * jax.lax.rsqrt(var + eps) * ls_ref[...].astype(f32)
+          + lb_ref[...].astype(f32)).astype(dt)  # (N, C) post-norm1
+
+    def dense(w_ref, b_ref):
+        y = jax.lax.dot_general(
+            hn, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32) + b_ref[...].astype(f32)
+        return y.astype(dt)
+
+    k = dense(wk_ref, bk_ref)
+    q = dense(wq_ref, bq_ref)
+    v = dense(wv_ref, bv_ref)
+
+    kf = k.astype(f32)
+    k_max = jnp.max(kf, axis=0, keepdims=True)
+    k_exp = jnp.exp(kf - k_max)
+    ks = (k_exp / jnp.sum(k_exp, axis=0, keepdims=True)).astype(dt)
+    qf = q.astype(f32)
+    q_max = jnp.max(qf, axis=1, keepdims=True)
+    q_exp = jnp.exp(qf - q_max)
+    qs = (q_exp / jnp.sum(q_exp, axis=1, keepdims=True)).astype(dt)
+
+    ctx = jax.lax.dot_general(
+        ks, v, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(dt)  # (C, C)
+    att = jax.lax.dot_general(
+        qs, ctx, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(dt)  # (N, C)
+    proj = jax.lax.dot_general(
+        att, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + bp_ref[...].astype(f32)
+    o_ref[0] = (proj.astype(dt).astype(f32) + xf).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def efficient_attention_block_folded(x, ls, lb, wq, bq, wk, bk, wv, bv,
+                                     wp, bp, eps: float = 1e-5,
+                                     interpret: bool = False):
+    """x: (B, N, C) raw block input; LN + 4 Dense params fp32.
+    Returns x + reproj(linear_attention(norm1(x))) — see
+    _folded_etb_kernel. Raises NotImplementedError outside the VMEM gate.
+    Affine params ship as (1, C) 2-D blocks (Mosaic rejects
+    tile-unaligned 1-D fp32 operands)."""
+    B, N, C = x.shape
+    if not eligible_folded(x.shape, x.dtype):
+        raise NotImplementedError("shape ineligible for the folded kernel")
+    dt = x.dtype
+    row2d = lambda a: a.reshape(1, C)  # noqa: E731
+    wcast = lambda w: w.astype(dt)     # noqa: E731
+
+    wspec = pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_folded_etb_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vspec, vspec,              # ln scale/bias
+            wspec, vspec,              # q
+            wspec, vspec,              # k
+            wspec, vspec,              # v
+            wspec, vspec,              # reprojection
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * C * 6,
+            bytes_accessed=2 * B * N * C * jnp.dtype(dt).itemsize,
+            transcendentals=2 * B * N * C,
+        ),
+        interpret=interpret,
+    )(x, row2d(ls), row2d(lb), wcast(wq), row2d(bq), wcast(wk), row2d(bk),
+      wcast(wv), row2d(bv), wcast(wp), row2d(bp))
+    return out
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, q_softmax: bool):
     q = q_ref[0]
     k = k_ref[0].astype(jnp.float32)
