@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conftest import tiny_config
+from conftest import CPU_DEVICES, tiny_config
 from transception_tpu.data.synapse import SyntheticVolumeDataset
 from transception_tpu.eval.inference import make_predictor, run_inference
 from transception_tpu.eval.inference import (
@@ -117,3 +117,32 @@ def test_run_inference_over_dataset():
                                patch_size=cfg.img_size, batch=4, log=None)
     assert 0.0 <= dice <= 1.0
     assert hd95 >= 0.0
+
+
+def test_dp_sharded_predictor_matches_unsharded():
+    """Data-parallel eval (batch sharded over the mesh 'data' axis) must
+    produce bit-identical argmax maps to the single-device path — the
+    CLAUDE.md-mandated value-parity check for any new sharding rule (the
+    GSPMD miscompiles we bisected in r2 corrupted values silently)."""
+    from transception_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    slices = np.random.default_rng(7).random((11, 32, 32)).astype(np.float32)
+
+    want = make_predictor(model, v, cfg.img_size, batch=8)(slices)
+
+    mesh = make_mesh(dp_size=4, tp_size=1, devices=CPU_DEVICES[:4])
+    got = make_predictor(model, v, cfg.img_size, batch=8, mesh=mesh)(slices)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dp_sharded_predictor_rejects_indivisible_batch():
+    from transception_tpu.parallel.mesh import make_mesh
+    import pytest
+
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    mesh = make_mesh(dp_size=4, tp_size=1, devices=CPU_DEVICES[:4])
+    with pytest.raises(ValueError, match="divisible"):
+        make_predictor(model, v, cfg.img_size, batch=6, mesh=mesh)

@@ -61,6 +61,10 @@ def main(argv=None):
                         "default is the published protocol (medpy called "
                         "with no spacing, utils.py:54)")
     p.add_argument("--eval_batch", type=int, default=32)
+    p.add_argument("--dp_size", type=int, default=1,
+                   help="data-parallel eval: shard each slice chunk over "
+                        "this many chips (batch dim only; eval_batch must "
+                        "divide by it)")
     # Published-protocol evaluation runs fp32 by default (bf16 flips ~0.8%
     # of argmax pixels); pass --dtype bfloat16 for max throughput.
     p.set_defaults(dtype="float32")
@@ -104,11 +108,15 @@ def main(argv=None):
     else:
         hd95_spacing = ((float(args.z_spacing), 1.0, 1.0)
                         if args.hd95_in_mm else None)
+        mesh = None
+        if args.dp_size > 1:
+            from transception_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(dp_size=args.dp_size, tp_size=1)
         mean_dice, mean_hd95 = run_inference(
             model, variables, test_ds, data_cfg.num_classes,
             patch_size=args.img_size, batch=args.eval_batch, log=logging.info,
             save_path=save_dir, z_spacing=args.z_spacing,
-            hd95_spacing=hd95_spacing)
+            hd95_spacing=hd95_spacing, mesh=mesh)
     if save_dir is not None:
         logging.info("saved volumes to %s", save_dir)
     return mean_dice, mean_hd95

@@ -92,7 +92,7 @@ def default_transfer_dtype(model):
 
 
 def make_predictor(model, variables, patch_size: int, batch: int = 32,
-                   transfer_dtype=None):
+                   transfer_dtype=None, mesh=None):
     """Returns a fn (D, patch, patch) float32 -> (D, patch, patch) uint8
     running the jitted forward in fixed-size chunks.
 
@@ -102,7 +102,16 @@ def make_predictor(model, variables, patch_size: int, batch: int = 32,
     model's compute dtype — bf16 inputs are a free win only when the model
     computes in bf16; the published-protocol fp32 path (utils.py:72-76 is
     fp32 end-to-end) must see true fp32 inputs, or input quantization flips
-    ~0.8% of argmax pixels."""
+    ~0.8% of argmax pixels.
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis — the slice batch
+    shards over it (data-parallel eval across chips; the reference's
+    per-slice single-GPU loop has no counterpart, utils.py:63-88) while
+    the params replicate. Slices are embarrassingly parallel so the only
+    collective is the output gather. batch must divide by the data axis.
+    Eval-side sharding is batch-dim-only by design: token/channel
+    shardings are the known-GSPMD-miscompile surface (parallel/mesh.py);
+    tests/test_inference.py pins logits parity vs the unsharded path."""
     if transfer_dtype is None:
         transfer_dtype = default_transfer_dtype(model)
 
@@ -113,13 +122,30 @@ def make_predictor(model, variables, patch_size: int, batch: int = 32,
     has_fused_argmax = "argmax" in inspect.signature(
         type(model).__call__).parameters
 
-    @jax.jit
-    def fwd(x):
+    def _fwd(v, x):
         if has_fused_argmax:
-            return model.apply(variables, x.astype(jnp.float32),
+            return model.apply(v, x.astype(jnp.float32),
                                train=False, argmax=True)
-        logits = model.apply(variables, x.astype(jnp.float32), train=False)
+        logits = model.apply(v, x.astype(jnp.float32), train=False)
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        dsz = mesh.shape["data"]
+        if batch % dsz:
+            raise ValueError(
+                f"eval batch {batch} not divisible by the mesh 'data' "
+                f"axis ({dsz}); pick a multiple so chunks shard evenly")
+        rep = NamedSharding(mesh, PartitionSpec())
+        shard_b = NamedSharding(mesh, PartitionSpec("data"))
+        fwd_sharded = jax.jit(_fwd, in_shardings=(rep, shard_b),
+                              out_shardings=shard_b)
+        variables = jax.device_put(variables, rep)
+        fwd = lambda x: fwd_sharded(variables, x)  # noqa: E731
+    else:
+        fwd_jit = jax.jit(_fwd)
+        fwd = lambda x: fwd_jit(variables, x)  # noqa: E731
 
     def predict(slices: np.ndarray) -> np.ndarray:
         d = slices.shape[0]
@@ -222,7 +248,7 @@ def run_inference(model, variables, volume_dataset, classes: int,
                   patch_size: int = 224, batch: int = 32,
                   log: Optional[Callable[[str], None]] = print,
                   save_path: Optional[str] = None, z_spacing: float = 1.0,
-                  hd95_spacing=None):
+                  hd95_spacing=None, mesh=None):
     """Loop test volumes, accumulate the per-case metric matrix, log
     per-class means (trainer.py:25-47 / test.py:104-123).
 
@@ -230,10 +256,12 @@ def run_inference(model, variables, volume_dataset, classes: int,
     spacing (1, 1, z_spacing) like the reference (utils.py:100-109).
     hd95_spacing: optional (z, 1, 1) voxel spacing for hd95 in mm (the
     published protocol uses None).
+    mesh: optional Mesh with a 'data' axis for data-parallel eval (see
+    make_predictor).
 
     The next volume's load+resize is prefetched on a host thread while the
     TPU runs the current one."""
-    predict = make_predictor(model, variables, patch_size, batch)
+    predict = make_predictor(model, variables, patch_size, batch, mesh=mesh)
     metric_sum = np.zeros((classes - 1, 2), np.float64)
     n = len(volume_dataset)
 
