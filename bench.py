@@ -56,14 +56,13 @@ def main():
     # Kernel-fallback ladder: if a Pallas kernel config fails to compile
     # on this Mosaic/libtpu build, step down (folds off, then all kernels
     # off) instead of losing the round's bench artifact.
-    import dataclasses as _dc
     import sys as _sys
+
+    from transception_tpu.core.config import iter_kernel_fallbacks
     last_err = None
-    for over in ({}, dict(bridge_attn_fold=False, bridge_ffn_use_pallas=False,
-                          etb_attn_fold=False),
-                 dict(use_pallas=False)):
+    for c, over in iter_kernel_fallbacks(cfg):
         try:
-            model = MSTransception(_dc.replace(cfg, **over) if over else cfg)
+            model = MSTransception(c)
             variables = jax.jit(model.init, static_argnames=("train",))(
                 jax.random.PRNGKey(0), x, train=False)
 
@@ -171,15 +170,8 @@ def main():
         tcfg = TrainConfig(batch_size=tb)
         xt = jnp.zeros((tb, 224, 224, 1), jnp.float32)
         yt = jnp.zeros((tb, 224, 224), jnp.int32)
-        import dataclasses as _dc
-        train_model = model
-        if cfg.use_pallas and not cfg.use_pallas_train:
-            # Mirror Trainer: XLA everywhere except the bridge attention,
-            # which has a real Pallas backward.
-            from transception_tpu.models.transception import MSTransception
-            train_model = MSTransception(_dc.replace(
-                cfg, use_pallas=False, bridge_use_pallas=True,
-                bridge_ffn_use_pallas=False, bridge_attn_fold=False))
+        from transception_tpu.train.trainer import train_step_model
+        train_model = train_step_model(model)
         tstate = create_train_state(train_model, tcfg, 92, xt,
                                     jax.random.PRNGKey(0))
         step = jax.jit(make_train_step(train_model, 9, 0.4, 0.6),

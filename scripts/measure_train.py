@@ -20,20 +20,15 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 
-    import dataclasses as dc
     from transception_tpu.core.config import TrainConfig, TransceptionConfig
     from transception_tpu.models.transception import MSTransception
     from transception_tpu.train.state import create_train_state
-    from transception_tpu.train.trainer import make_train_step
+    from transception_tpu.train.trainer import make_train_step, train_step_model
     from transception_tpu.utils.profiling import device_time_per_call
 
     cfg = TransceptionConfig()
-    # Mirror the trainer's train-step gating (train/trainer.py): bridge
-    # attention kernels on (flash backward), bridge FFN kernels off.
-    model = MSTransception(dc.replace(cfg, use_pallas=False,
-                                      bridge_use_pallas=True,
-                                      bridge_ffn_use_pallas=False,
-                                      bridge_attn_fold=False))
+    # The trainer's exact train-step kernel gating (single source of truth).
+    model = train_step_model(MSTransception(cfg))
     x = jnp.zeros((batch, 224, 224, 1), jnp.float32)
     y = jnp.zeros((batch, 224, 224), jnp.int32)
     state = create_train_state(model, TrainConfig(batch_size=batch), 92, x,

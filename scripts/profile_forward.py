@@ -106,13 +106,13 @@ def main():
         jax.random.PRNGKey(0), x, train=False)
 
     if train:
-        import dataclasses as _dc
         from transception_tpu.core.config import TrainConfig
         from transception_tpu.train.state import create_train_state
-        from transception_tpu.train.trainer import make_train_step
-        tmodel = MSTransception(_dc.replace(cfg, use_pallas=False,
-                                            bridge_use_pallas=True)) \
-            if cfg.use_pallas and not cfg.use_pallas_train else model
+        from transception_tpu.train.trainer import (
+            make_train_step,
+            train_step_model,
+        )
+        tmodel = train_step_model(model)
         y = jnp.zeros((batch, 224, 224), jnp.int32)
         state = create_train_state(tmodel, TrainConfig(batch_size=batch),
                                    92, x, jax.random.PRNGKey(0))

@@ -37,6 +37,11 @@ def main():
     ref = None
     for tile in tiles:
         bak._TILE_N = tile
+        # bridge_softmax_attention is module-level jitted: without clearing
+        # its trace cache the sweep would silently re-run the first tile's
+        # kernel for every entry (the inner pjit cache is keyed on shapes,
+        # not on the mutated global).
+        bak.bridge_softmax_attention.clear_cache()
         try:
             fn = jax.jit(lambda q, k, v: bak.bridge_softmax_attention(
                 q, k, v, scale))

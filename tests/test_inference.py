@@ -146,3 +146,15 @@ def test_dp_sharded_predictor_rejects_indivisible_batch():
     mesh = make_mesh(dp_size=4, tp_size=1, devices=CPU_DEVICES[:4])
     with pytest.raises(ValueError, match="divisible"):
         make_predictor(model, v, cfg.img_size, batch=6, mesh=mesh)
+
+
+def test_kernel_fallback_predictor_matches_plain():
+    """kernel_fallback=True walks the shared ladder (first rung compiles
+    on CPU) and must be output-identical to the plain predictor."""
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    slices = np.random.default_rng(11).random((5, 32, 32)).astype(np.float32)
+    want = make_predictor(model, v, cfg.img_size, batch=4)(slices)
+    got = make_predictor(model, v, cfg.img_size, batch=4,
+                         kernel_fallback=True)(slices)
+    np.testing.assert_array_equal(got, want)

@@ -250,3 +250,22 @@ class TrainConfig:
         if self.batch_size != 24 and self.batch_size % 5 == 0:
             return self.base_lr * self.batch_size / 24
         return self.base_lr
+
+
+# Kernel-fallback ladder: config overrides to try in order when a Pallas
+# kernel fails to compile on the current Mosaic/libtpu build — first the
+# eval-only folds come off, then every hand kernel. Shared by bench.py,
+# __graft_entry__.py and the eval predictor so the three entry points can
+# never drift apart.
+KERNEL_FALLBACK_OVERRIDES: Tuple[dict, ...] = (
+    {},
+    dict(bridge_attn_fold=False, bridge_ffn_use_pallas=False,
+         etb_attn_fold=False),
+    dict(use_pallas=False),
+)
+
+
+def iter_kernel_fallbacks(cfg):
+    """Yield (config, overrides) down the kernel-fallback ladder."""
+    for over in KERNEL_FALLBACK_OVERRIDES:
+        yield (dataclasses.replace(cfg, **over) if over else cfg), over

@@ -92,7 +92,7 @@ def default_transfer_dtype(model):
 
 
 def make_predictor(model, variables, patch_size: int, batch: int = 32,
-                   transfer_dtype=None, mesh=None):
+                   transfer_dtype=None, mesh=None, kernel_fallback=False):
     """Returns a fn (D, patch, patch) float32 -> (D, patch, patch) uint8
     running the jitted forward in fixed-size chunks.
 
@@ -111,41 +111,75 @@ def make_predictor(model, variables, patch_size: int, batch: int = 32,
     collective is the output gather. batch must divide by the data axis.
     Eval-side sharding is batch-dim-only by design: token/channel
     shardings are the known-GSPMD-miscompile surface (parallel/mesh.py);
-    tests/test_inference.py pins logits parity vs the unsharded path."""
+    tests/test_inference.py pins logits parity vs the unsharded path.
+
+    kernel_fallback: walk the shared kernel-fallback ladder
+    (core.config.KERNEL_FALLBACK_OVERRIDES — folds off, then all Pallas
+    kernels off) if the forward fails to compile on this Mosaic/libtpu
+    build, instead of crashing the eval. Folded and unfolded structures
+    share one param tree, so the same `variables` fit every rung. The
+    compile happens eagerly (at make_predictor time) in this mode."""
     if transfer_dtype is None:
         transfer_dtype = default_transfer_dtype(model)
 
-    # Models exposing argmax=True (MSTransception) compute the head conv +
-    # argmax before the final pixel shuffle (exact commutation, measured
-    # ~5 ms/b=128 saved); others get the plain argmax-of-logits.
+    if mesh is not None and batch % mesh.shape["data"]:
+        raise ValueError(
+            f"eval batch {batch} not divisible by the mesh 'data' "
+            f"axis ({mesh.shape['data']}); pick a multiple so chunks "
+            f"shard evenly")
+
     import inspect
-    has_fused_argmax = "argmax" in inspect.signature(
-        type(model).__call__).parameters
 
-    def _fwd(v, x):
-        if has_fused_argmax:
-            return model.apply(v, x.astype(jnp.float32),
+    def _build(m):
+        # Models exposing argmax=True (MSTransception) compute the head
+        # conv + argmax before the final pixel shuffle (exact commutation,
+        # measured ~5 ms/b=128 saved); others get plain argmax-of-logits.
+        has_fused_argmax = "argmax" in inspect.signature(
+            type(m).__call__).parameters
+
+        def _fwd(v, x):
+            if has_fused_argmax:
+                return m.apply(v, x.astype(jnp.float32),
                                train=False, argmax=True)
-        logits = model.apply(v, x.astype(jnp.float32), train=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            logits = m.apply(v, x.astype(jnp.float32), train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        dsz = mesh.shape["data"]
-        if batch % dsz:
-            raise ValueError(
-                f"eval batch {batch} not divisible by the mesh 'data' "
-                f"axis ({dsz}); pick a multiple so chunks shard evenly")
-        rep = NamedSharding(mesh, PartitionSpec())
-        shard_b = NamedSharding(mesh, PartitionSpec("data"))
-        fwd_sharded = jax.jit(_fwd, in_shardings=(rep, shard_b),
+            rep = NamedSharding(mesh, PartitionSpec())
+            shard_b = NamedSharding(mesh, PartitionSpec("data"))
+            fwd_jit = jax.jit(_fwd, in_shardings=(rep, shard_b),
                               out_shardings=shard_b)
-        variables = jax.device_put(variables, rep)
-        fwd = lambda x: fwd_sharded(variables, x)  # noqa: E731
-    else:
-        fwd_jit = jax.jit(_fwd)
-        fwd = lambda x: fwd_jit(variables, x)  # noqa: E731
+            v = jax.device_put(variables, rep)
+        else:
+            fwd_jit = jax.jit(_fwd)
+            v = variables
+        return (lambda x: fwd_jit(v, x)), fwd_jit, v
+
+    fwd, fwd_jit, _v = _build(model)
+    if kernel_fallback:
+        from transception_tpu.core.config import iter_kernel_fallbacks
+        from transception_tpu.models.transception import MSTransception
+        if isinstance(model, MSTransception):
+            probe = jnp.zeros((batch, patch_size, patch_size, 1),
+                              transfer_dtype)
+            last_err = None
+            for c, over in iter_kernel_fallbacks(model.cfg):
+                m = type(model)(c) if over else model
+                fwd, fwd_jit, _v = _build(m)
+                try:
+                    fwd_jit.lower(_v, probe).compile()
+                    if over:
+                        import logging as _logging
+                        _logging.getLogger(__name__).warning(
+                            "eval kernel fallback engaged: %s", over)
+                    last_err = None
+                    break
+                except Exception as e:  # pragma: no cover - hw-dependent
+                    last_err = e
+            if last_err is not None:
+                raise last_err
 
     def predict(slices: np.ndarray) -> np.ndarray:
         d = slices.shape[0]
@@ -248,7 +282,7 @@ def run_inference(model, variables, volume_dataset, classes: int,
                   patch_size: int = 224, batch: int = 32,
                   log: Optional[Callable[[str], None]] = print,
                   save_path: Optional[str] = None, z_spacing: float = 1.0,
-                  hd95_spacing=None, mesh=None):
+                  hd95_spacing=None, mesh=None, kernel_fallback=False):
     """Loop test volumes, accumulate the per-case metric matrix, log
     per-class means (trainer.py:25-47 / test.py:104-123).
 
@@ -261,7 +295,8 @@ def run_inference(model, variables, volume_dataset, classes: int,
 
     The next volume's load+resize is prefetched on a host thread while the
     TPU runs the current one."""
-    predict = make_predictor(model, variables, patch_size, batch, mesh=mesh)
+    predict = make_predictor(model, variables, patch_size, batch, mesh=mesh,
+                             kernel_fallback=kernel_fallback)
     metric_sum = np.zeros((classes - 1, 2), np.float64)
     n = len(volume_dataset)
 

@@ -347,7 +347,10 @@ def bridge_attention_folded(x, res, wq, bq, k, v, wp, bp, scale: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, C), lambda b, j, h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda b, j, h: (0,),
+            # (1, C) not (C,): Mosaic's 1-D fp32 tiling rejects non-tile-
+            # aligned lengths (observed at feats=640 in expand_kernel);
+            # every affine operand ships 2-D for uniformity.
+            pl.BlockSpec((1, C), lambda b, j, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, C), lambda b, j, h: (b, j, 0),
@@ -361,7 +364,8 @@ def bridge_attention_folded(x, res, wq, bq, k, v, wp, bp, scale: float,
             transcendentals=B * heads * N * M,
         ),
         interpret=interpret,
-    )(x, res, wq_r, bq_r, k.astype(dt), v.astype(dt), wp_r, bp)
+    )(x, res, wq_r, bq_r, k.astype(dt), v.astype(dt), wp_r,
+      bp.reshape(1, C))
     if pad:
         out = out[:, :N]
     return out

@@ -289,9 +289,13 @@ def fused_mixffn_ln_skip(x, lts, ltb, w1, b1, dw, dwb, ln_scale, ln_bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((groups, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda i, j: (0,),
+            # lts/ltb ship (1, C) not (C,): this fold is device-unverified
+            # and Mosaic's 1-D fp32 tiling rejects some non-tile-aligned
+            # lengths (observed at 640 in expand_kernel); broadcasting
+            # against the (R, s, C) LN output is identical.
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda i, j: (0,),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -321,7 +325,8 @@ def fused_mixffn_ln_skip(x, lts, ltb, w1, b1, dw, dwb, ln_scale, ln_bias,
             transcendentals=B * N * hidden,
         ),
         interpret=interpret,
-    )(x.reshape(B, s, s, C), sel, sel.T, lts, ltb,
+    )(x.reshape(B, s, s, C), sel, sel.T, lts.reshape(1, C),
+      ltb.reshape(1, C),
       w1.astype(x.dtype), b1, dw.astype(x.dtype), dwb, ln_scale, ln_bias,
       w2.astype(x.dtype), b2)
     return out.reshape(B, N, C)

@@ -84,6 +84,28 @@ def assemble_global_batch(batch, data_shard, global_batch_size: int,
     return images, labels
 
 
+def train_step_model(model):
+    """The kernel-gated model the train step actually runs — the single
+    source of truth for train-vs-eval Pallas gating (Trainer, bench.py and
+    the measurement scripts must all agree, or a profile describes a graph
+    training never executes).
+
+    Eval keeps every kernel; the train step turns them off
+    (`use_pallas_train`: their custom-VJP backwards lose to XLA's fused
+    fwd+bwd) EXCEPT the bridge attention, which has a real flash-style
+    Pallas backward — and even there the eval-only folds (attn fold, FFN
+    fold) stay off so the flash backward sees the plain kernel."""
+    import dataclasses as _dc
+
+    from transception_tpu.models.transception import MSTransception
+    if isinstance(model, MSTransception) and model.cfg.use_pallas \
+            and not model.cfg.use_pallas_train:
+        return MSTransception(_dc.replace(
+            model.cfg, use_pallas=False, bridge_use_pallas=True,
+            bridge_ffn_use_pallas=False, bridge_attn_fold=False))
+    return model
+
+
 def make_train_step(model, num_classes: int, ce_w: float, dice_w: float):
     def loss_fn(params, batch_stats, images, labels, dropout_rng):
         outs, updates = model.apply(
@@ -131,30 +153,17 @@ class Trainer:
 
     def __init__(self, model_cfg: TransceptionConfig, train_cfg: TrainConfig,
                  data_cfg: DataConfig, model=None):
-        import dataclasses as _dc
         from transception_tpu.models.transception import MSTransception
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.data_cfg = data_cfg
         self.model = model or MSTransception(model_cfg)
-        # Train-step model: same params, but kernels gated by
-        # use_pallas_train (their custom-VJP backwards are slower than
-        # XLA's fused fwd+bwd — see core/config.py). The bridge attention
-        # is the exception: it has a real flash-style Pallas backward, so
-        # its kernels stay on in the train step. Eval keeps all kernels.
-        # Applies to a caller-passed MSTransception too (the CLI always
-        # passes one): gating only the model=None path silently trained
-        # with every custom-VJP kernel (caught by the 500-epoch run).
-        if isinstance(self.model, MSTransception) and \
-                self.model.cfg.use_pallas and \
-                not self.model.cfg.use_pallas_train:
-            self.train_model = MSTransception(
-                _dc.replace(self.model.cfg, use_pallas=False,
-                            bridge_use_pallas=True,
-                            bridge_ffn_use_pallas=False,
-                            bridge_attn_fold=False))
-        else:
-            self.train_model = self.model
+        # Train-step model: same params, kernels gated by use_pallas_train
+        # (see train_step_model — the single source of truth). Applies to
+        # a caller-passed MSTransception too (the CLI always passes one):
+        # gating only the model=None path silently trained with every
+        # custom-VJP kernel (caught by the 500-epoch run).
+        self.train_model = train_step_model(self.model)
         self.mesh = make_mesh(train_cfg.dp_size, train_cfg.tp_size)
         os.makedirs(train_cfg.output_dir, exist_ok=True)
         self._setup_logging()
