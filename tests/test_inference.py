@@ -158,3 +158,45 @@ def test_kernel_fallback_predictor_matches_plain():
     got = make_predictor(model, v, cfg.img_size, batch=4,
                          kernel_fallback=True)(slices)
     np.testing.assert_array_equal(got, want)
+
+def test_zoom_operator_matches_scipy_2d():
+    """The separable-operator claim behind device_resample: for 2-D input,
+    A_h @ img @ A_w.T must equal ndimage.zoom(img, ..., order=3) — down-
+    AND up-sampling, non-square, float64 exact up to roundoff."""
+    from scipy import ndimage
+    from transception_tpu.eval.inference import _zoom_operator
+    rng = np.random.default_rng(5)
+    for h, w, oh, ow in [(37, 29, 17, 17), (48, 40, 32, 32),
+                         (17, 23, 32, 32), (64, 64, 64, 64)]:
+        img = rng.random((h, w))
+        want = ndimage.zoom(img, (oh / h, ow / w), order=3)
+        got = _zoom_operator(h, oh) @ img @ _zoom_operator(w, ow).T
+        assert want.shape == got.shape == (oh, ow)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_device_resample_volume_matches_host_protocol():
+    """device_resample=True moves the spline on device; predictions must
+    agree with the host-spline protocol path up to fp32-matmul-vs-fp64
+    rounding of the resample (~1e-6 input delta → rare argmax flips)."""
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    vol = np.random.default_rng(9).random((6, 48, 40)).astype(np.float32)
+    want = make_predictor(model, v, cfg.img_size, batch=4).predict_volume(vol)
+    got = make_predictor(model, v, cfg.img_size, batch=4,
+                         device_resample=True).predict_volume(vol)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    agreement = (got == want).mean()
+    assert agreement >= 0.995, f"pixel agreement {agreement:.4f}"
+
+
+def test_device_resample_passthrough_at_patch_size():
+    """A volume already at patch resolution must take the identical
+    no-resample path under device_resample."""
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    vol = np.random.default_rng(13).random((5, 32, 32)).astype(np.float32)
+    want = make_predictor(model, v, cfg.img_size, batch=4).predict_volume(vol)
+    got = make_predictor(model, v, cfg.img_size, batch=4,
+                         device_resample=True).predict_volume(vol)
+    np.testing.assert_array_equal(got, want)

@@ -65,6 +65,11 @@ def main(argv=None):
                    help="data-parallel eval: shard each slice chunk over "
                         "this many chips (batch dim only; eval_batch must "
                         "divide by it)")
+    p.add_argument("--device_resample", action="store_true",
+                   help="run the protocol's order-3 spline input resample "
+                        "on device (exact scipy-derived operator matmuls; "
+                        "~1e-6 input tolerance vs the host spline) — "
+                        "removes ~2 s/volume of host CPU on slow hosts")
     # Published-protocol evaluation runs fp32 by default (bf16 flips ~0.8%
     # of argmax pixels); pass --dtype bfloat16 for max throughput.
     p.set_defaults(dtype="float32")
@@ -119,7 +124,7 @@ def main(argv=None):
             hd95_spacing=hd95_spacing, mesh=mesh,
             # Step down the shared kernel ladder instead of crashing the
             # user-facing eval if a fold doesn't compile on this build.
-            kernel_fallback=True)
+            kernel_fallback=True, device_resample=args.device_resample)
     if save_dir is not None:
         logging.info("saved volumes to %s", save_dir)
     return mean_dice, mean_hd95
