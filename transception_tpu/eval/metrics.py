@@ -31,23 +31,37 @@ def _surface(mask: np.ndarray) -> np.ndarray:
     return mask & ~eroded
 
 
-def _directed_surface_distances(a: np.ndarray, b: np.ndarray,
-                                spacing=None) -> np.ndarray:
-    """Distances from surface voxels of `a` to the surface of `b`."""
-    sa = _surface(a)
-    sb = _surface(b)
-    dt = ndimage.distance_transform_edt(~sb, sampling=spacing)
-    return dt[sa]
+def _union_bbox(mask: np.ndarray):
+    """Tight bounding-box slices of a non-empty mask (per-axis any-reduce)."""
+    out = []
+    for ax in range(mask.ndim):
+        axes = tuple(i for i in range(mask.ndim) if i != ax)
+        nz = np.flatnonzero(mask.any(axis=axes))
+        out.append(slice(int(nz[0]), int(nz[-1]) + 1))
+    return tuple(out)
 
 
 def hd95(pred: np.ndarray, gt: np.ndarray, spacing=None) -> float:
-    """95th percentile of the pooled symmetric surface distances."""
+    """95th percentile of the pooled symmetric surface distances.
+
+    Computed inside the union bounding box of the two masks — EXACT, not
+    an approximation: every surface voxel (EDT source and query alike)
+    lies inside the crop, a tight bbox leaves all-background just outside
+    each face exactly as the full volume does (so connectivity-1 erosion
+    with border_value=0 yields identical surfaces), and cropping changes
+    no geometry. distance_transform_edt is O(volume), so this turns two
+    ~33 s full-(148,512²) EDTs per class into ~the organ's subvolume
+    (the brute-force oracle in tests/test_metric_goldens.py pins
+    equality). Surfaces are computed once and shared by both directions."""
     pred = np.asarray(pred, bool)
     gt = np.asarray(gt, bool)
-    if pred.sum() == 0 or gt.sum() == 0:
+    if not pred.any() or not gt.any():
         return 0.0
-    d1 = _directed_surface_distances(pred, gt, spacing)
-    d2 = _directed_surface_distances(gt, pred, spacing)
+    box = _union_bbox(pred | gt)
+    pred, gt = pred[box], gt[box]
+    sp, sg = _surface(pred), _surface(gt)
+    d1 = ndimage.distance_transform_edt(~sg, sampling=spacing)[sp]
+    d2 = ndimage.distance_transform_edt(~sp, sampling=spacing)[sg]
     return float(np.percentile(np.hstack((d1, d2)), 95))
 
 
