@@ -167,6 +167,9 @@ def test_cli_configs_roundtrip():
     assert mcfg.br_ch_att_list == (False, True, False, True)
     assert mcfg.num_classes == 2 and dcfg.num_classes == 2
     assert tcfg.scaled_lr() == pytest.approx(0.05 * 30 / 24)
+    assert tcfg.eval_device_resample is False
+    args = p.parse_args(["--dataset", "Synapse", "--eval_device_resample"])
+    assert build_configs(args)[2].eval_device_resample is True
 
 
 def test_cli_train_smoke(tmp_path):

@@ -92,6 +92,11 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--tp_size", type=int, default=1)
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--eval_device_resample", action="store_true",
+                   help="in-training evals resample slices on device "
+                        "(exact scipy-derived operator matmuls, ~1e-6 "
+                        "input tolerance) — removes the host spline from "
+                        "every periodic eval pass")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first steps")
 
@@ -163,5 +168,6 @@ def build_configs(args):
         dp_size=getattr(args, "dp_size", -1),
         tp_size=getattr(args, "tp_size", 1),
         resume=not getattr(args, "no_resume", False),
+        eval_device_resample=getattr(args, "eval_device_resample", False),
     )
     return model_cfg, data_cfg, train_cfg

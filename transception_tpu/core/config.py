@@ -244,6 +244,13 @@ class TrainConfig:
     # Checkpointing (orbax): save every N epochs; auto-resume if present.
     ckpt_every: int = 20
     resume: bool = True
+    # In-training eval: run the protocol's order-3 spline input resample
+    # on device (exact scipy-derived operator matmuls; ~1e-6 input
+    # tolerance — see eval/inference.py:_zoom_operator). Cuts the host
+    # spline out of every periodic eval pass; model-selection decisions
+    # are insensitive at this tolerance. Final published numbers should
+    # still come from cli/test.py's default host-spline path.
+    eval_device_resample: bool = False
 
     def scaled_lr(self) -> float:
         """LR linear scaling rule (train_MSTransception.py:123-124)."""

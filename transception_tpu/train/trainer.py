@@ -367,10 +367,11 @@ class Trainer:
                                   self.data_cfg.img_size, log=logger.info)
                     h = 0.0
                 else:
-                    d, h = run_inference(self.model, variables, test_ds,
-                                         self.data_cfg.num_classes,
-                                         patch_size=self.data_cfg.img_size,
-                                         log=logger.info)
+                    d, h = run_inference(
+                        self.model, variables, test_ds,
+                        self.data_cfg.num_classes,
+                        patch_size=self.data_cfg.img_size, log=logger.info,
+                        device_resample=cfg.eval_device_resample)
                 dice_hist.append(d)
                 hd95_hist.append(h)
             if done:
