@@ -112,11 +112,19 @@ def test_device_predictor_serving_path():
 def test_run_inference_over_dataset():
     cfg = tiny_config()
     model, v = _model_and_vars(cfg)
-    ds = SyntheticVolumeDataset(length=2, hw=48, num_classes=cfg.num_classes)
+    ds = SyntheticVolumeDataset(length=3, hw=48, num_classes=cfg.num_classes)
+    lines = []
     dice, hd95 = run_inference(model, v, ds, cfg.num_classes,
-                               patch_size=cfg.img_size, batch=4, log=None)
+                               patch_size=cfg.img_size, batch=4,
+                               log=lines.append)
     assert 0.0 <= dice <= 1.0
     assert hd95 >= 0.0
+    # Per-case lines must stay in case order even though metrics are
+    # computed on a worker thread overlapping the next volume's predict.
+    case_lines = [ln for ln in lines if ln.startswith("idx ")]
+    assert [ln.split()[1] for ln in case_lines] == ["0", "1", "2"]
+    assert sum(ln.startswith("Mean class") for ln in lines) == \
+        cfg.num_classes - 1
 
 
 def test_dp_sharded_predictor_matches_unsharded():

@@ -378,7 +378,11 @@ def run_inference(model, variables, volume_dataset, classes: int,
     removes the per-volume host spline cost at ~1e-6 input tolerance.
 
     The next volume's load+resize is prefetched on a host thread while the
-    TPU runs the current one."""
+    TPU runs the current one, and volume i's metrics (CPU: per-class EDTs,
+    eval/metrics.py) are computed on a worker thread while the TPU
+    predicts volume i+1 — scipy releases the GIL and predict mostly
+    blocks on the device, so total time is ~max(metrics, predict), not
+    the sum. Per-case log lines stay in case order."""
     predict = make_predictor(model, variables, patch_size, batch, mesh=mesh,
                              kernel_fallback=kernel_fallback,
                              device_resample=device_resample)
@@ -388,29 +392,52 @@ def run_inference(model, variables, volume_dataset, classes: int,
     def load(i):
         return volume_dataset.get(i)
 
+    def metrics_of(prediction, label):
+        return np.asarray([metric_per_case(prediction == c, label == c,
+                                           hd95_spacing)
+                           for c in range(1, classes)])
+
     pool = ThreadPoolExecutor(max_workers=1)
+    metric_pool = ThreadPoolExecutor(max_workers=1)
+    pending: List[Tuple[int, str, object]] = []
+
+    def drain(upto: int):
+        nonlocal metric_sum
+        while pending and len(pending) > upto:
+            i, case, fut = pending.pop(0)
+            m = fut.result()
+            metric_sum += m
+            if log:
+                log(f"idx {i} case {case} mean_dice {m[:, 0].mean():.6f} "
+                    f"mean_hd95 {m[:, 1].mean():.6f}")
+
     next_fut = pool.submit(load, 0) if n else None
     for i in range(n):
         sample = next_fut.result()
         next_fut = pool.submit(load, i + 1) if i + 1 < n else None
-        m, prediction = test_single_volume(
-            sample["image"], sample["label"], predict, classes, patch_size,
-            spacing=hd95_spacing, return_prediction=True)
-        m = np.asarray(m)
+        image = np.asarray(sample["image"], np.float32)
+        label = np.asarray(sample["label"])
+        h, w = image.shape[1:]
+        pv = getattr(predict, "predict_volume", None)
+        if pv is not None:
+            pred_patch = pv(image)
+        else:
+            sl = _resize_slices_scipy(image, patch_size)
+            pred_patch = predict((sl - 0.5) / 0.5)
+        prediction = _resize_pred_back(pred_patch, h, w)
         if save_path is not None:
             from transception_tpu.eval.nifti import save_nifti
             case = sample["case_name"]
             sp = (1.0, 1.0, float(z_spacing))
             save_nifti(f"{save_path}/{case}_pred.nii.gz",
                        np.asarray(prediction, np.float32), sp)
-            save_nifti(f"{save_path}/{case}_img.nii.gz",
-                       np.asarray(sample["image"], np.float32), sp)
+            save_nifti(f"{save_path}/{case}_img.nii.gz", image, sp)
             save_nifti(f"{save_path}/{case}_gt.nii.gz",
-                       np.asarray(sample["label"], np.float32), sp)
-        metric_sum += m
-        if log:
-            log(f"idx {i} case {sample['case_name']} "
-                f"mean_dice {m[:, 0].mean():.6f} mean_hd95 {m[:, 1].mean():.6f}")
+                       np.asarray(label, np.float32), sp)
+        pending.append((i, sample["case_name"],
+                        metric_pool.submit(metrics_of, prediction, label)))
+        drain(1)  # resolve all but the in-flight case, in order
+    drain(0)
     metric_mean = metric_sum / max(n, 1)
     if log:
         for c in range(1, classes):
