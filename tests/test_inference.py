@@ -198,6 +198,24 @@ def test_device_resample_volume_matches_host_protocol():
     assert agreement >= 0.995, f"pixel agreement {agreement:.4f}"
 
 
+def test_device_resample_dp_sharded_matches_unsharded():
+    """device_resample under a data mesh (raw slices sharded on batch,
+    operators replicated) must be bit-identical to the unsharded
+    device-resample path — the mandated value-parity check for any new
+    sharded program (GSPMD miscompiles corrupt silently)."""
+    from transception_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    vol = np.random.default_rng(17).random((9, 48, 40)).astype(np.float32)
+    want = make_predictor(model, v, cfg.img_size, batch=4,
+                          device_resample=True).predict_volume(vol)
+    mesh = make_mesh(dp_size=4, tp_size=1, devices=CPU_DEVICES[:4])
+    got = make_predictor(model, v, cfg.img_size, batch=4, mesh=mesh,
+                         device_resample=True).predict_volume(vol)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_device_resample_passthrough_at_patch_size():
     """A volume already at patch resolution must take the identical
     no-resample path under device_resample."""
