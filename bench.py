@@ -224,8 +224,13 @@ def main():
         "wall_clock_implied_mfu": round(mfu(
             wall_slices_per_sec / max(len(jax.devices()), 1)), 4),
         "p50_volume_latency_s": round(p50_volume_latency, 3),
+        # Raw runs: the host spline resample on a 1-CPU host is the
+        # variance-prone term (VERDICT r2 weak #1) — publish the spread.
+        "volume_latency_runs_s": [round(v, 3) for v in sorted(lat)],
         "p50_volume_latency_device_resample_s": round(
             p50_volume_latency_dr, 3),
+        "volume_latency_device_resample_runs_s": [
+            round(v, 3) for v in sorted(lat_dr)],
         "train_imgs_per_sec_per_chip": (round(train_imgs_per_sec, 2)
                                         if train_imgs_per_sec else None),
         "train_step_ms_bs24": (round(train_step_ms, 2)
