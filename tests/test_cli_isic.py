@@ -185,3 +185,19 @@ def test_cli_train_smoke(tmp_path):
     ])
     assert int(state.step) == 2
     assert os.path.exists(tmp_path / "log.txt")
+
+
+def test_cli_train_smoke_eval_device_resample(tmp_path):
+    """--eval_device_resample routes the in-training eval through the
+    on-device operator-matmul resample end-to-end."""
+    from transception_tpu.cli.train import main
+    state, hist = main([
+        "--dataset", "synthetic", "--img_size", "32", "--batch_size", "4",
+        "--max_epochs", "1", "--eval_interval", "1",
+        "--output_dir", str(tmp_path), "--max_steps", "1",
+        "--dtype", "float32", "--no_pallas", "--dp_size", "1",
+        "--num_layers", "1,1,1", "--num_path", "2,2,2",
+        "--stage1_layers", "1", "--eval_device_resample",
+    ])
+    assert int(state.step) == 1
+    assert len(hist["dice"]) == 1  # the eval actually ran
