@@ -109,6 +109,27 @@ def test_device_predictor_serving_path():
     assert out.max() < cfg.num_classes
 
 
+def test_device_predictor_matches_host_protocol():
+    """The all-on-device serving path now has protocol semantics: exact
+    operator-matmul spline in, bit-exact order-0 gather back — it must
+    agree with the host protocol path (spline + predict + back-resize)
+    up to fp32-vs-fp64 resample rounding."""
+    from transception_tpu.eval.inference import (
+        _resize_pred_back,
+        _resize_slices_scipy,
+        make_device_predictor,
+    )
+    cfg = tiny_config()
+    model, v = _model_and_vars(cfg)
+    vol = np.random.default_rng(21).random((5, 48, 40)).astype(np.float32)
+    host = make_predictor(model, v, cfg.img_size, batch=4)
+    want = _resize_pred_back(host.predict_volume(vol), 48, 40)
+    got = make_device_predictor(model, v, cfg.img_size, batch=4)(vol)
+    assert got.shape == want.shape
+    agreement = (got == want).mean()
+    assert agreement >= 0.995, f"pixel agreement {agreement:.4f}"
+
+
 def test_run_inference_over_dataset():
     cfg = tiny_config()
     model, v = _model_and_vars(cfg)

@@ -299,29 +299,55 @@ def make_predictor(model, variables, patch_size: int, batch: int = 32,
 def make_device_predictor(model, variables, patch_size: int,
                           batch: int = 32):
     """Serving-path predictor: resize + normalize + forward + argmax +
-    back-resize all on device (jax.image cubic/nearest — fast, but not
-    bit-identical to the scipy spline protocol; use make_predictor +
-    _resize_slices_scipy for published-number parity)."""
+    back-resize ALL on device, with protocol semantics — the order-3
+    spline input resample as exact scipy-derived operator matmuls
+    (_zoom_operator, fp32 HIGHEST ≈ 1e-6 of the host spline) and the
+    order-0 back-resize as the bit-exact index gather (_zoom0_index).
+    Host touches only raw slices in and uint8 class maps out. One compile
+    per native resolution (jitted closures cached by (h, w))."""
 
     import inspect
     has_fused_argmax = "argmax" in inspect.signature(
         type(model).__call__).parameters
+    hi = jax.lax.Precision.HIGHEST
+    cache = {}
 
-    @jax.jit
-    def fwd(x):  # x: (b, H, W) raw volume slices
-        t = jax.image.resize(x, (x.shape[0], patch_size, patch_size),
-                             method="cubic")
-        t = ((t - 0.5) / 0.5)[..., None]
-        if has_fused_argmax:
-            pred = model.apply(variables, t, train=False, argmax=True)
-        else:
-            logits = model.apply(variables, t, train=False)
-            pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-        back = jax.image.resize(pred, x.shape, method="nearest")
-        return back
+    def _fwd_for(h: int, w: int):
+        if (h, w) in cache:
+            return cache[(h, w)]
+        a_h = jnp.asarray(_zoom_operator(h, patch_size), jnp.float32)
+        a_w = jnp.asarray(_zoom_operator(w, patch_size), jnp.float32)
+        ridx, rok = _zoom0_index(patch_size, h)
+        cidx, cok = _zoom0_index(patch_size, w)
+        ridx, cidx = jnp.asarray(ridx), jnp.asarray(cidx)
+        ok = None
+        if not (rok.all() and cok.all()):
+            ok = jnp.asarray((rok[:, None] & cok[None, :]).astype(np.uint8))
+
+        @jax.jit
+        def fwd(x):  # x: (b, h, w) raw volume slices
+            t = x.astype(jnp.float32)
+            if (h, w) != (patch_size, patch_size):
+                t = jnp.einsum("ph,bhw->bpw", a_h, t, precision=hi)
+                t = jnp.einsum("bpw,qw->bpq", t, a_w, precision=hi)
+            t = ((t - 0.5) / 0.5)[..., None]
+            if has_fused_argmax:
+                pred = model.apply(variables, t, train=False, argmax=True)
+            else:
+                logits = model.apply(variables, t, train=False)
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            if (h, w) != (patch_size, patch_size):
+                pred = pred[:, ridx[:, None], cidx[None, :]]
+                if ok is not None:
+                    pred = pred * ok
+            return pred
+
+        cache[(h, w)] = fwd
+        return fwd
 
     def predict(vol: np.ndarray) -> np.ndarray:
-        d = vol.shape[0]
+        d, h, w = vol.shape
+        fwd = _fwd_for(h, w)
         n_chunks = math.ceil(d / batch)
         pad = n_chunks * batch - d
         x = np.pad(vol, ((0, pad), (0, 0), (0, 0)))
