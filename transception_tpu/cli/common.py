@@ -54,7 +54,9 @@ def add_data_args(p: argparse.ArgumentParser):
                    help="Synapse | ISIC | synthetic")
     p.add_argument("--root_path", type=str,
                    default="./data/Synapse/train_npz")
-    p.add_argument("--test_path", type=str,
+    # --volume_path is the reference test.py's name for the same thing
+    # (test.py:26) — accepted as an alias for switching users.
+    p.add_argument("--test_path", "--volume_path", type=str,
                    default="./data/Synapse/test_vol_h5")
     p.add_argument("--list_dir", type=str, default="./lists/lists_Synapse")
     p.add_argument("--num_workers", type=int, default=4)
