@@ -54,11 +54,20 @@ def replicate(mesh: Mesh) -> NamedSharding:
 # model is ~30M params so TP is optional; these rules make the multi-chip
 # dry-run exercise a real 2-D sharding, and scale headroom for larger dims.
 _TP_RULES = (
-    # FFN up-projections: shard output features.
-    (re.compile(r".*(mix_ffn|mlp|mixffn)\d*/fc1/kernel$"), P(None, MODEL_AXIS)),
+    # FFN up-projections: shard output features. Bridge-layer FFNs are
+    # excluded: sequence parallelism token-shards their inputs on the SAME
+    # 'model' axis (models/bridge.py), and hidden-sharding the kernels too
+    # gives SPMD two conflicting preferences — the backward's dwconv
+    # grad-accumulation adds then hit the "involuntary full
+    # rematerialization" fallback (12 warnings + the slow dp4x2 compile,
+    # MULTICHIP_r03). The bridge FFN matrices are small (<=512x2048), so
+    # TP there bought nothing; SP is the right parallelism for the bridge.
+    (re.compile(r"^(?!.*bridge_layer).*(mix_ffn|mlp|mixffn)\d*/fc1/kernel$"),
+     P(None, MODEL_AXIS)),
     # FFN down-projections: shard input features (row-parallel, pairs with
     # the column-parallel fc1 — value-verified vs unsharded, r2 bisect).
-    (re.compile(r".*(mix_ffn|mlp|mixffn)\d*/fc2/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r"^(?!.*bridge_layer).*(mix_ffn|mlp|mixffn)\d*/fc2/kernel$"),
+     P(MODEL_AXIS, None)),
     # Attention qkv fused projections: shard output (head) dim.
     (re.compile(r".*/qkv(_linear)?/kernel$"), P(None, MODEL_AXIS)),
     # NOTE: deliberately NO rule for attention out-projections (/proj/).
