@@ -12,7 +12,14 @@ so naive wall-clock timing reports physically impossible throughput
 time parsed from a jax.profiler trace** (XLA Modules line of the device
 xplane), cross-checked against the FLOP roofline: the JSON carries
 flops_per_slice and implied_mfu, and any measurement implying >100% of
-peak is flagged invalid and replaced by a roofline cap.
+peak is flagged invalid and its value reported as null (the impossible
+reading is kept in invalid_reading_slices_per_sec for debugging).
+
+Volume latency caveat: the end-to-end p50 rows are wall-clock and include
+the tunnel, which exhibits rare multi-second stalls (a 52 s outlier was
+observed once in r4 probing) and is sensitive to ambient host load —
+r3's 5.9 s p50 reproduced at 2.1 s on a quiet host. The spread of raw
+runs is published so consumers can judge the noise.
 """
 
 from __future__ import annotations
@@ -148,9 +155,10 @@ def main():
     _resize_pred_back(predict(_resize_slices_scipy(vol[:33], 224)), 512, 512)
     # Protocol path as run_inference drives it: chunk-pipelined (host
     # spline resample overlapped with TPU compute) + index-gather order-0
-    # back-resize. N=5 runs; p50 reported.
+    # back-resize. N=7 runs; p50 reported (the tunnel stalls randomly —
+    # see the module docstring — so more runs harden the median).
     lat = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         pred = _resize_pred_back(predict.predict_volume(vol), 512, 512)
         lat.append(time.perf_counter() - t0)
@@ -160,12 +168,16 @@ def main():
     # Same volume with the on-device spline resample (exact scipy-derived
     # operator matmuls fused into the forward): host cost drops to pad +
     # H2D of raw 512² slices. Separate field — ~1e-6 input tolerance vs
-    # the strict host-spline protocol path above.
-    predict_dr = make_predictor(model, variables, 224, batch=32,
+    # the strict host-spline protocol path above. Chunk size 74 (two
+    # exact chunks per 148-slice volume): with no host spline to overlap,
+    # fewer dispatches win — measured p50 across chunk sizes on this
+    # tunnel: 32→2.46 s, 80→1.78 s, 160→4.06 s (single huge transfers
+    # stall), vs host-path 1.81 s.
+    predict_dr = make_predictor(model, variables, 224, batch=74,
                                 device_resample=True)
-    _resize_pred_back(predict_dr.predict_volume(vol[:33]), 512, 512)  # warm
+    _resize_pred_back(predict_dr.predict_volume(vol[:75]), 512, 512)  # warm
     lat_dr = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         pred = _resize_pred_back(predict_dr.predict_volume(vol), 512, 512)
         lat_dr.append(time.perf_counter() - t0)
@@ -189,7 +201,10 @@ def main():
         train_model = train_step_model(model)
         tstate = create_train_state(train_model, tcfg, 92, xt,
                                     jax.random.PRNGKey(0))
-        step = jax.jit(make_train_step(train_model, 9, 0.4, 0.6),
+        # wide_head mirrors the Trainer's default wide-layout loss
+        # (cfg.wide_loss; train/trainer.py make_train_step).
+        step = jax.jit(make_train_step(train_model, 9, 0.4, 0.6,
+                                       wide_head=True),
                        donate_argnums=(0,))
         tstate, tm = step(tstate, xt, yt, jax.random.PRNGKey(1))
         jax.block_until_ready(tm)

@@ -1,8 +1,9 @@
 """Device-trace measurement of the train step at a given batch size.
 
-Usage: python scripts/measure_train.py [batch]
+Usage: python scripts/measure_train.py [batch] [--std-head]
 Mirrors Trainer's kernel gating (XLA everywhere except the bridge
-attention, which has a real Pallas backward).
+attention, which has a real Pallas backward) and its wide-layout loss
+(--std-head measures the standard post-shuffle head instead).
 """
 
 from __future__ import annotations
@@ -18,7 +19,9 @@ import jax.numpy as jnp
 
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    wide = "--std-head" not in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 24
 
     from transception_tpu.core.config import TrainConfig, TransceptionConfig
     from transception_tpu.models.transception import MSTransception
@@ -33,7 +36,8 @@ def main():
     y = jnp.zeros((batch, 224, 224), jnp.int32)
     state = create_train_state(model, TrainConfig(batch_size=batch), 92, x,
                                jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(model, 9, 0.4, 0.6), donate_argnums=(0,))
+    step = jax.jit(make_train_step(model, 9, 0.4, 0.6, wide_head=wide),
+                   donate_argnums=(0,))
     state, m = step(state, x, y, jax.random.PRNGKey(1))
     jax.block_until_ready(m)
     holder = {"s": state}
@@ -46,7 +50,8 @@ def main():
     if t is None:
         print("no device trace")
         return
-    print(f"train step bs={batch}: {t * 1e3:.2f} ms -> "
+    print(f"train step bs={batch} ({'wide' if wide else 'std'} head): "
+          f"{t * 1e3:.2f} ms -> "
           f"{batch / t:.1f} imgs/s/chip (device trace)")
 
 

@@ -116,7 +116,11 @@ def main():
         y = jnp.zeros((batch, 224, 224), jnp.int32)
         state = create_train_state(tmodel, TrainConfig(batch_size=batch),
                                    92, x, jax.random.PRNGKey(0))
-        step = jax.jit(make_train_step(tmodel, 9, 0.4, 0.6),
+        # Wide-layout loss to match the Trainer (pass --std-head for the
+        # standard post-shuffle head).
+        step = jax.jit(make_train_step(tmodel, 9, 0.4, 0.6,
+                                       wide_head="--std-head"
+                                       not in sys.argv),
                        donate_argnums=(0,))
         state, m = step(state, x, y, jax.random.PRNGKey(1))
         jax.block_until_ready(m)

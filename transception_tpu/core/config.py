@@ -251,6 +251,13 @@ class TrainConfig:
     # are insensitive at this tolerance. Final published numbers should
     # still come from cli/test.py's default host-spline path.
     eval_device_resample: bool = False
+    # Train-step loss in PRE-pixel-shuffle token order: the final-expand
+    # shuffle + LN re-tiling copies (measured ~14 ms of the 104 ms bs-24
+    # step backward) drop out of the graph; the no-grad labels are
+    # permuted instead. Loss equals the standard layout up to fp32
+    # reduction order (train/trainer.py make_train_step wide_head;
+    # tests/test_wide_head.py). MSTransception only — ignored otherwise.
+    wide_loss: bool = True
 
     def scaled_lr(self) -> float:
         """LR linear scaling rule (train_MSTransception.py:123-124)."""

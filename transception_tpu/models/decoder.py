@@ -17,10 +17,42 @@ from transception_tpu.ops.attention import EfficientTransformerBlock
 from transception_tpu.ops.common import (
     FinalPatchExpandX4,
     PatchExpand,
+    fwd_only_barrier,
     xavier,
 )
 
 Dtype = Any
+
+
+class _ExpandParams(nn.Module):
+    """Param holder mirroring FinalPatchExpandX4's tree (layer_up/expand +
+    layer_up/norm/ln) for head paths that apply the expansion manually."""
+
+    in_c: int
+    feats: int
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        from transception_tpu.ops.common import _DenseKernelParam, _LNParams
+        w = _DenseKernelParam((self.in_c, self.feats), name="expand")()
+        s, b = _LNParams(self.c, name="norm")()
+        return w, s, b
+
+
+class _HeadParams(nn.Module):
+    """Param holder mirroring the 1x1 head conv tree (last_layer)."""
+
+    c: int
+    n: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", xavier, (1, 1, self.c, self.n),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.n,),
+                       jnp.float32)
+        return k, b
 
 
 class DecoderLayer(nn.Module):
@@ -39,7 +71,7 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2: Optional[jnp.ndarray] = None,
-                 argmax_head: bool = False):
+                 argmax_head: bool = False, wide_head: bool = False):
         """x1: (B, N, C) tokens from below; x2: (B, H, W, C) skip map.
 
         argmax_head (last stage, inference only): run the 1x1 head conv
@@ -48,7 +80,18 @@ class DecoderLayer(nn.Module):
         both the conv (per-pixel) and the argmax (per-pixel) commute with
         the shuffle permutation exactly, and the two measured-expensive
         bf16 layout copies (2.59 + 2.49 ms at b=128) collapse to a uint8
-        copy. Returns (B, 4H, 4W) uint8 class ids instead of logits."""
+        copy. Returns (B, 4H, 4W) uint8 class ids instead of logits.
+
+        wide_head (last stage, training): return (B, N, p², n_class) fp32
+        logits in PRE-pixel-shuffle token order — the loss permutes the
+        (no-grad) labels instead of the activations. The expansion dot
+        emits (B, N, p², c) directly, so neither the pixel shuffle's
+        transpose nor the (B, N, p²c) <-> (B, p²N, c) re-tiling reshapes
+        around the LN exist in the graph; their backward was measured at
+        ~14 ms of the 104 ms bs-24 train step (twelve 308 MB fp32
+        broadcast/reshape/copy ops in the r4 profile). Same params and
+        per-pixel math as the standard head (the shuffle is a pure token
+        permutation; LN and the 1x1 conv are per-token)."""
         if x2 is None:
             # Bottom stage: expand only (MSTr.py:284-289).
             B = x1.shape[0]
@@ -75,14 +118,40 @@ class DecoderLayer(nn.Module):
             dtype=self.dtype, name="layer_former_2")(t, H, W)
         if self.is_last:
             p = 4
+            if wide_head:
+                import jax
+
+                C_in = t.shape[-1]
+                c = self.out_dim
+                w, ls, lb = _ExpandParams(C_in, 16 * c, c,
+                                          name="layer_up")()
+                # Same contraction as the Dense expand (fp32 accumulation,
+                # rounded to the compute dtype) but born c-minor.
+                y = jnp.einsum(
+                    "bnk,kqc->bnqc", t,
+                    w.astype(self.dtype).reshape(C_in, p * p, c),
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+                # Keep the 16x stream in the compute dtype (same role as
+                # the barrier in _expand_epilogue).
+                y = fwd_only_barrier(y)
+                # LN over c — flax fast-variance formula
+                # (ops/common.py LayerNorm), fp32 stats.
+                yf = y.astype(jnp.float32)
+                mean = jnp.mean(yf, axis=-1, keepdims=True)
+                var = jnp.mean(yf * yf, axis=-1, keepdims=True) \
+                    - mean * mean
+                xn = (yf - mean) * (jax.lax.rsqrt(var + 1e-5)
+                                    * ls.astype(jnp.float32)) \
+                    + lb.astype(jnp.float32)
+                xn = xn.astype(self.dtype)
+                # fp32 head per c-vector ((N, p²) act as spatial dims).
+                return nn.Conv(self.n_class, (1, 1), dtype=jnp.float32,
+                               param_dtype=jnp.float32, kernel_init=xavier,
+                               name="last_layer")(xn)
             if argmax_head:
                 from transception_tpu.ops.pallas.patch_expand import (
                     can_fuse,
                     fused_expand_argmax,
-                )
-                from transception_tpu.ops.common import (
-                    _DenseKernelParam,
-                    _LNParams,
                 )
                 C_in = t.shape[-1]
                 # bf16 models only: the in-kernel fp32 head dot has a
@@ -96,31 +165,6 @@ class DecoderLayer(nn.Module):
                     # Whole epilogue in ONE kernel: expand + grouped LN +
                     # fp32 head + argmax. HBM sees only p² ints/token —
                     # no (B, N, p²c) layout copy, no logits tensor.
-                    class _ExpandParams(nn.Module):
-                        in_c: int
-                        feats: int
-                        c: int
-
-                        @nn.compact
-                        def __call__(self):
-                            w = _DenseKernelParam((self.in_c, self.feats),
-                                                  name="expand")()
-                            s, b = _LNParams(self.c, name="norm")()
-                            return w, s, b
-
-                    class _HeadParams(nn.Module):
-                        c: int
-                        n: int
-
-                        @nn.compact
-                        def __call__(self):
-                            k = self.param("kernel", xavier,
-                                           (1, 1, self.c, self.n),
-                                           jnp.float32)
-                            b = self.param("bias", nn.initializers.zeros,
-                                           (self.n,), jnp.float32)
-                            return k, b
-
                     w, ls, lb = _ExpandParams(
                         C_in, 16 * self.out_dim, self.out_dim,
                         name="layer_up")()

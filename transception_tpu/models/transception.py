@@ -27,12 +27,19 @@ class MSTransception(nn.Module):
     cfg: TransceptionConfig = TransceptionConfig()
 
     @nn.compact
-    def __call__(self, x, train: bool = False, argmax: bool = False):
+    def __call__(self, x, train: bool = False, argmax: bool = False,
+                 wide_head: bool = False):
         """argmax=True (inference only): return (B, H, W) uint8 class ids
         instead of logits, with the head conv + argmax computed BEFORE the
         final pixel shuffle (they commute with it exactly; kills the two
         measured-expensive (B, N, 16·dim) layout copies — see
-        DecoderLayer.argmax_head). Same params either way."""
+        DecoderLayer.argmax_head). Same params either way.
+
+        wide_head=True (training only): return (B, (H/4)², 16, num_classes)
+        fp32 logits in PRE-pixel-shuffle token order; the loss permutes
+        the integer labels instead (train/losses.py shuffle_labels_wide).
+        Kills the final shuffle + LN re-tiling copies from fwd AND bwd —
+        see DecoderLayer.wide_head. Same params either way."""
         cfg = self.cfg
         dt = cfg.compute_dtype
         if x.shape[-1] == 1:
@@ -97,5 +104,6 @@ class MSTransception(nn.Module):
                               use_pallas=cfg.use_pallas,
                               attn_fold=cfg.etb_attn_fold, dtype=dt,
                               name="decoder_0")(t1, enc[0],
-                                                argmax_head=argmax)
+                                                argmax_head=argmax,
+                                                wide_head=wide_head)
         return logits

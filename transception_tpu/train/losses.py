@@ -47,6 +47,21 @@ def dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return per_class.mean()
 
 
+def shuffle_labels_wide(labels: jnp.ndarray, p: int = 4) -> jnp.ndarray:
+    """Permute (B, H, W) integer labels into the wide-head token order
+    (B, (H/p)·(W/p), p²): wide logit (n, q) with n = h·(W/p) + w and
+    q = p1·p + p2 is output pixel (h·p + p1, w·p + p2) — the inverse of
+    the FinalPatchExpand pixel shuffle ('b (h w) (p1 p2 c)'). CE and Dice
+    reduce over all pixels, so loss(wide_logits, wide_labels) equals
+    loss(logits, labels) up to fp32 reduction order; the labels carry no
+    gradient, so this transpose is the cheap side of the commute
+    (models/decoder.py DecoderLayer.wide_head)."""
+    B, H, W = labels.shape
+    h, w = H // p, W // p
+    return labels.reshape(B, h, p, w, p).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, h * w, p * p)
+
+
 def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                       num_classes: int, ce_weight: float = 0.4,
                       dice_weight: float = 0.6):

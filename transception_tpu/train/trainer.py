@@ -25,7 +25,10 @@ from transception_tpu.data.loader import HostDataLoader
 from transception_tpu.data.synapse import make_test_dataset, make_train_dataset
 from transception_tpu.eval.inference import run_inference
 from transception_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
-from transception_tpu.train.losses import segmentation_loss
+from transception_tpu.train.losses import (
+    segmentation_loss,
+    shuffle_labels_wide,
+)
 from transception_tpu.train.state import (
     TrainState,
     create_train_state,
@@ -106,12 +109,23 @@ def train_step_model(model):
     return model
 
 
-def make_train_step(model, num_classes: int, ce_w: float, dice_w: float):
+def make_train_step(model, num_classes: int, ce_w: float, dice_w: float,
+                    wide_head: bool = False):
+    """wide_head=True (MSTransception only): the model emits logits in
+    PRE-pixel-shuffle token order and the loss permutes the (no-grad)
+    integer labels instead — same per-pixel math, but the final shuffle
+    transpose and the LN re-tiling reshapes (measured ~14 ms of the
+    104 ms bs-24 train step backward) never enter the graph. Loss values
+    match the standard layout up to fp32 reduction order
+    (tests/test_wide_head.py)."""
     def loss_fn(params, batch_stats, images, labels, dropout_rng):
+        kw = {"wide_head": True} if wide_head else {}
         outs, updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=True, mutable=["batch_stats"],
-            rngs={"dropout": dropout_rng})
+            rngs={"dropout": dropout_rng}, **kw)
+        if wide_head:
+            labels = shuffle_labels_wide(labels)
         total, ce, dc = segmentation_loss(outs, labels, num_classes,
                                           ce_w, dice_w)
         return total, (updates["batch_stats"], ce, dc)
@@ -167,6 +181,15 @@ class Trainer:
         self.mesh = make_mesh(train_cfg.dp_size, train_cfg.tp_size)
         os.makedirs(train_cfg.output_dir, exist_ok=True)
         self._setup_logging()
+
+    def _use_wide_head(self) -> bool:
+        """Wide-layout train loss (cfg.wide_loss): MSTransception only
+        (other registry models don't take the wide_head kwarg), and the
+        label pixel-shuffle needs img_size % 4 == 0."""
+        from transception_tpu.models.transception import MSTransception
+        return (self.cfg.wide_loss
+                and isinstance(self.train_model, MSTransception)
+                and self.data_cfg.img_size % 4 == 0)
 
     def _setup_logging(self):
         path = os.path.join(self.cfg.output_dir, "log.txt")
@@ -284,7 +307,8 @@ class Trainer:
         schedule = make_lr_schedule(cfg, steps_per_epoch)
         step_fn = jax.jit(make_train_step(
             self.train_model, self.data_cfg.num_classes, cfg.ce_weight,
-            cfg.dice_weight), donate_argnums=(0,))
+            cfg.dice_weight, wide_head=self._use_wide_head()),
+            donate_argnums=(0,))
         data_shard = batch_sharding(self.mesh)
 
         writer = None
