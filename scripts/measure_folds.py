@@ -2,12 +2,16 @@
 forward under each fold configuration, so each fold's win is attributed
 separately (README perf ledger).
 
-Configs:
-  all-on    : default (attn fold + bridge FFN LN fold + ETB fold)
-  attn-off  : bridge_attn_fold=False
-  ffn-off   : bridge_ffn_use_pallas=False (also disables the bridge LN
-              fold, which rides the FFN kernels)
-  folds-off : both off (the r3-early 127.8 ms baseline structure)
+Each combo pins all three knobs explicitly (the defaults moved to the
+measured winner in r4, so deltas-from-default would be ambiguous):
+bridge_attn_fold / bridge_ffn_use_pallas (also carries the bridge LN
+fold, which rides the FFN kernels) / etb_attn_fold.
+
+r4 measured table (b=128, v5e device trace; reproducible to 0.01 ms):
+  etb-only 124.00 ms (WINNER -> the default), attn-off 125.50,
+  all-on 127.33, folds-off 127.36, ffn-only 129.02, etb-off 130.83,
+  ffn-off 138.54. The one-off deltas are NOT additive — XLA fusion
+  interactions across the fold boundaries dominate.
 
 Usage: python scripts/measure_folds.py [batch]
 """
@@ -34,14 +38,21 @@ def main():
     base = TransceptionConfig()
     x = jnp.zeros((batch, 224, 224, 1), jnp.float32)
 
+    def combo(attn, ffn, etb, etb_ffn=True):
+        return dict(bridge_attn_fold=attn, bridge_ffn_use_pallas=ffn,
+                    etb_attn_fold=etb, etb_ffn_fold=etb_ffn)
+
     configs = [
-        ("all-on", {}),
-        ("attn-off", dict(bridge_attn_fold=False)),
-        ("ffn-off", dict(bridge_ffn_use_pallas=False)),
-        ("etb-off", dict(etb_attn_fold=False)),
-        ("folds-off", dict(bridge_attn_fold=False,
-                           bridge_ffn_use_pallas=False,
-                           etb_attn_fold=False)),
+        ("all-on", combo(True, True, True)),
+        ("attn-off", combo(False, True, True)),
+        ("ffn-off", combo(True, False, True)),
+        ("etb-off", combo(True, True, False)),
+        ("ffn-only", combo(False, True, False)),
+        ("etb-only", combo(False, False, True)),  # the r4 default
+        # The 4th axis: ETB FFN sub-block fully XLA (fused MixFFN_skip
+        # kernels off in the 14 encoder/decoder blocks), rest at default.
+        ("etbffn-off", combo(False, False, True, etb_ffn=False)),
+        ("folds-off", combo(False, False, False)),
     ]
     import numpy as np
     xr = jnp.asarray(

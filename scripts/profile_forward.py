@@ -100,6 +100,12 @@ def main():
     from transception_tpu.models.transception import MSTransception
 
     cfg = TransceptionConfig()
+    if "--no-attn-fold" in sys.argv:
+        # The fold-attribution sweep (scripts/measure_folds.py) measured
+        # the bridge-attention fold as a small LOSS at b=128; profile the
+        # without-it graph to find the next target.
+        import dataclasses as dc
+        cfg = dc.replace(cfg, bridge_attn_fold=False)
     model = MSTransception(cfg)
     x = jnp.zeros((batch, 224, 224, 1), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(

@@ -119,21 +119,32 @@ class TransceptionConfig:
     # lose to XLA's joint fwd+bwd) fall back.
     bridge_use_pallas: object = None  # Optional[bool]
     # Overrides the bridge's per-scale MixFFN_skip kernels only (None =>
-    # follow the bridge's resolved use_pallas). The trainer sets False:
-    # the bridge attention keeps its (flash-backward) kernels in training
-    # while the FFN kernel — whose custom-VJP backward loses — does not.
-    bridge_ffn_use_pallas: object = None  # Optional[bool]
+    # follow the bridge's resolved use_pallas). Default False since the
+    # r4 fold-attribution sweep (scripts/measure_folds.py, b=128 device
+    # trace): the full-combination table shows the best graph keeps ONLY
+    # the ETB fold (124.0 ms) — the FFN kernels and the attention fold
+    # each measure as net losses in the full graph, though the one-off
+    # deltas are non-additive (README fold table). The trainer also sets
+    # False (its custom-VJP backward loses to XLA's joint fwd+bwd).
+    bridge_ffn_use_pallas: object = False  # Optional[bool]
     # Folds the bridge attention's q/out projections + layer residual
     # into the attention kernel (None => follow the bridge's resolved
-    # use_pallas). The trainer sets False: the fold's backward would
-    # recompute the attention, losing to the plain kernel's flash
-    # Pallas backward in the train step.
-    bridge_attn_fold: object = None  # Optional[bool]
+    # use_pallas). Default False per the same r4 sweep (a -1.8 ms loss
+    # at b=128 vs the plain bridge-attention kernel). The trainer sets
+    # False too: the fold's backward would recompute the attention,
+    # losing to the plain kernel's flash Pallas backward.
+    bridge_attn_fold: object = False  # Optional[bool]
     # Folds each EfficientTransformerBlock's norm1 + QKV Denses + linear
     # attention + reprojection + residual into ONE kernel (stage-1 and
-    # decoder blocks; None => follow use_pallas). Eval-path win — the
+    # decoder blocks; None => follow use_pallas). The one fold the r4
+    # sweep confirms as a win (+3.5 to +6.8 ms depending on combo); the
     # trainer's use_pallas=False keeps it off in the train step.
     etb_attn_fold: object = None  # Optional[bool]
+    # Runs each EfficientTransformerBlock's norm2 + MixFFN_skip + residual
+    # as the fused MixFFN kernel (None => follow use_pallas; False =>
+    # that FFN sub-block goes fully XLA, kernel included) — separate axis
+    # so scripts/measure_folds.py can attribute it like the bridge knobs.
+    etb_ffn_fold: object = None  # Optional[bool]
     # Execute the num_path MHCA encoders of each stage as one vmapped
     # (path-stacked-params) call instead of sequentially — same math,
     # measured +14% inference / +81% training on v5e. Changes the param
@@ -274,7 +285,7 @@ class TrainConfig:
 KERNEL_FALLBACK_OVERRIDES: Tuple[dict, ...] = (
     {},
     dict(bridge_attn_fold=False, bridge_ffn_use_pallas=False,
-         etb_attn_fold=False),
+         etb_attn_fold=False, etb_ffn_fold=False),
     dict(use_pallas=False),
 )
 

@@ -67,6 +67,9 @@ class DecoderLayer(nn.Module):
     # None -> follow use_pallas; forwarded to the blocks' whole-attention
     # fold (see ops/attention.py EfficientTransformerBlock.attn_fold).
     attn_fold: object = None
+    # None -> follow use_pallas; forwarded to the blocks' fused-FFN
+    # sub-block (EfficientTransformerBlock.ffn_fold).
+    ffn_fold: object = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -109,12 +112,12 @@ class DecoderLayer(nn.Module):
         t = EfficientTransformerBlock(
             self.out_dim, self.out_dim, self.out_dim,
             token_mlp=self.token_mlp, use_pallas=self.use_pallas,
-            attn_fold=self.attn_fold,
+            attn_fold=self.attn_fold, ffn_fold=self.ffn_fold,
             dtype=self.dtype, name="layer_former_1")(t, H, W)
         t = EfficientTransformerBlock(
             self.out_dim, self.out_dim, self.out_dim,
             token_mlp=self.token_mlp, use_pallas=self.use_pallas,
-            attn_fold=self.attn_fold,
+            attn_fold=self.attn_fold, ffn_fold=self.ffn_fold,
             dtype=self.dtype, name="layer_former_2")(t, H, W)
         if self.is_last:
             p = 4

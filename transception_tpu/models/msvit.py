@@ -176,6 +176,7 @@ class MSViT(nn.Module):
             t = EfficientTransformerBlock(
                 dims[0], dims[0], dims[0], token_mlp=cfg.token_mlp,
                 use_pallas=cfg.use_pallas, attn_fold=cfg.etb_attn_fold,
+                ffn_fold=cfg.etb_ffn_fold,
                 dtype=dt, name=f"block1_{i}")(
                 t, H, W)
         t = LayerNorm(dtype=dt, name="norm1")(t)
@@ -264,6 +265,7 @@ class MSViTCasa(nn.Module):
             t = EfficientTransformerBlock(
                 dims[0], dims[0], dims[0], token_mlp=cfg.token_mlp,
                 use_pallas=cfg.use_pallas, attn_fold=cfg.etb_attn_fold,
+                ffn_fold=cfg.etb_ffn_fold,
                 dtype=dt, name=f"block1_{i}")(
                 t, H, W)
         t = LayerNorm(dtype=dt, name="norm1")(t)

@@ -90,19 +90,23 @@ class MSTransception(nn.Module):
         t3 = DecoderLayer(ins[0], d[3], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, use_pallas=cfg.use_pallas,
                           attn_fold=cfg.etb_attn_fold,
+                          ffn_fold=cfg.etb_ffn_fold,
                           dtype=dt, name="decoder_3")(t3)
         t2 = DecoderLayer(ins[1], d[2], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, use_pallas=cfg.use_pallas,
                           attn_fold=cfg.etb_attn_fold,
+                          ffn_fold=cfg.etb_ffn_fold,
                           dtype=dt, name="decoder_2")(t3, enc[2])
         t1 = DecoderLayer(ins[2], d[1], token_mlp=cfg.token_mlp,
                           n_class=cfg.num_classes, use_pallas=cfg.use_pallas,
                           attn_fold=cfg.etb_attn_fold,
+                          ffn_fold=cfg.etb_ffn_fold,
                           dtype=dt, name="decoder_1")(t2, enc[1])
         logits = DecoderLayer(ins[3], d[0], token_mlp=cfg.token_mlp,
                               n_class=cfg.num_classes, is_last=True,
                               use_pallas=cfg.use_pallas,
-                              attn_fold=cfg.etb_attn_fold, dtype=dt,
+                              attn_fold=cfg.etb_attn_fold,
+                              ffn_fold=cfg.etb_ffn_fold, dtype=dt,
                               name="decoder_0")(t1, enc[0],
                                                 argmax_head=argmax,
                                                 wide_head=wide_head)

@@ -137,6 +137,10 @@ class EfficientTransformerBlock(nn.Module):
     # attention sub-block folds into one kernel; set False to keep the
     # plain (per-op) kernels with use_pallas on.
     attn_fold: object = None
+    # None -> follow use_pallas: run norm2+FFN+residual as the fused
+    # MixFFN_skip kernel. Set False to leave the FFN sub-block to XLA
+    # (separate knob so scripts/measure_folds.py can attribute it).
+    ffn_fold: object = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -190,7 +194,9 @@ class EfficientTransformerBlock(nn.Module):
                                    use_pallas=self.use_pallas,
                                    dtype=self.dtype, name="attn")(h)
             x = x + h
-        if self.token_mlp == "mix_skip" and self.use_pallas:
+        want_ffn_fold = (self.use_pallas if self.ffn_fold is None
+                         else bool(self.ffn_fold))
+        if self.token_mlp == "mix_skip" and want_ffn_fold:
             # norm2 + FFN + residual fold into the fused MixFFN_skip
             # kernel (groups=1 -> plain LN); param tree identical to the
             # unfolded branch (norm2 holder + same "mlp" leaves), so
@@ -201,8 +207,11 @@ class EfficientTransformerBlock(nn.Module):
                               dtype=self.dtype, name="mlp")(
                 x, H, W, pre_ln=(ls2, lb2, 1, 1e-5), residual=True)
         h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        # ffn_fold=False turns the FFN sub-block fully XLA (kernel off
+        # too), mirroring the bridge_ffn_use_pallas semantics.
         h = make_ffn(self.token_mlp, self.dim, self.dim * 4, self.dtype,
-                     "mlp", use_pallas=self.use_pallas)(h, H, W)
+                     "mlp", use_pallas=self.use_pallas and want_ffn_fold
+                     )(h, H, W)
         return x + h
 
 
