@@ -10,8 +10,11 @@ fold, which rides the FFN kernels) / etb_attn_fold.
 r4 measured table (b=128, v5e device trace; reproducible to 0.01 ms):
   etb-only 124.00 ms (WINNER -> the default), attn-off 125.50,
   all-on 127.33, folds-off 127.36, ffn-only 129.02, etb-off 130.83,
-  ffn-off 138.54. The one-off deltas are NOT additive — XLA fusion
-  interactions across the fold boundaries dominate.
+  etbffn-off 131.45, ffn-off 138.54. The one-off deltas are NOT
+  additive — XLA fusion interactions across the fold boundaries
+  dominate. etbffn-off (the 4th axis: the 14 fused MixFFN_skip
+  instances in the ETB blocks handed back to XLA) is a 7.4 ms LOSS
+  vs the default, so those kernels stay on.
 
 Usage: python scripts/measure_folds.py [batch]
 """
