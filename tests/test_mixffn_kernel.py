@@ -33,6 +33,7 @@ def _params(C, hidden, seed=0):
     (16, 64, 256),    # 2 tiles of 8
     (56, 64, 256),    # the published bridge scale-0 geometry
     (28, 128, 512),   # bridge scale-1 geometry
+    (14, 128, 512),   # whole-map mode (MHCA stage-3 / decoder_2 geometry)
 ])
 def test_kernel_matches_reference(s, C, hidden):
     x = _rand((2, s * s, C), 9)
@@ -43,6 +44,42 @@ def test_kernel_matches_reference(s, C, hidden):
     want = _reference_impl(x, p["w1"], p["b1"], p["dw"], p["dwb"],
                            p["ls"], p["lb"], p["w2"], p["b2"],
                            s, hidden, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_whole_map_edge_padding():
+    """Whole-map mode (rows == s) must reproduce conv zero padding at all
+    four map edges (energy only on the border ring)."""
+    s, C, hidden = 14, 64, 256
+    x = np.zeros((1, s * s, C), np.float32)
+    xm = x.reshape(1, s, s, C)
+    xm[0, 0], xm[0, -1], xm[0, :, 0], xm[0, :, -1] = 1.0, -1.0, 0.5, -0.5
+    x = jnp.asarray(x)
+    p = _params(C, hidden, 21)
+    got = fused_mixffn_skip(x, p["w1"], p["b1"], p["dw"], p["dwb"],
+                            p["ls"], p["lb"], p["w2"], p["b2"],
+                            s=s, hidden=hidden, interpret=True)
+    want = _reference_impl(x, p["w1"], p["b1"], p["dw"], p["dwb"],
+                           p["ls"], p["lb"], p["w2"], p["b2"],
+                           s, hidden, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_vmapped_kernel_matches_vmapped_reference():
+    """jax.vmap over path-stacked weights (the nn.vmap MHCA encoders)
+    must equal the vmapped reference chain — the kernel's vector params
+    ride as (1, n) blocks specifically so this batching lowers."""
+    P, s, C, hidden = 3, 14, 64, 256
+    x = _rand((P, 2, s * s, C), 11)
+    ps = [_params(C, hidden, 30 + i) for i in range(P)]
+    stacked = {k: jnp.stack([p[k] for p in ps]) for k in ps[0]}
+    order = ("w1", "b1", "dw", "dwb", "ls", "lb", "w2", "b2")
+    args = (x,) + tuple(stacked[k] for k in order)
+    got = jax.vmap(lambda *a: fused_mixffn_skip(
+        *a, s=s, hidden=hidden, interpret=True))(*args)
+    want = jax.vmap(lambda *a: _reference_impl(*a, s, hidden, 1e-5))(*args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-5, atol=5e-5)
 
@@ -88,8 +125,16 @@ def test_edge_rows_zero_padding():
 def test_eligibility():
     assert eligible((128, 56 * 56, 64), 64, 256, jnp.bfloat16)
     assert eligible((128, 28 * 28, 128), 128, 512, jnp.bfloat16)
-    # s=14/7: no row tiling satisfies the sublane rule -> XLA fallback
+    # s=14: no partial row tiling satisfies the sublane rule; the
+    # whole-map mode (rows == s) covers it at the kernel level, but the
+    # eligible() auto-gate excludes it (measured in-graph loss — see
+    # _pick_rows), so module auto paths keep XLA there.
+    from transception_tpu.ops.pallas.mixffn_kernel import _pick_rows
+    assert _pick_rows(14, 320, 1280, 2) == 14
+    assert _pick_rows(14, 320, 1280, 2, whole_map=False) == 0
     assert not eligible((128, 14 * 14, 320), 320, 1280, jnp.bfloat16)
+    # s=7 (odd): Mosaic rejects the (7,7,C)->(49,C) cast even whole-map
+    assert _pick_rows(7, 512, 2048, 2) == 0
     assert not eligible((128, 7 * 7, 512), 512, 2048, jnp.bfloat16)
     assert not eligible((1, 50, 64), 64, 256, jnp.float32)  # non-square
 
@@ -289,3 +334,75 @@ def test_etb_fold_matches_unfolded():
     np.testing.assert_allclose(
         np.asarray(folded.apply(v1, x, H, W)),
         np.asarray(plain.apply(v1, x, H, W)), rtol=1e-5, atol=1e-5)
+
+
+def test_mhca_ffn_fold_matches_unfolded():
+    """MHCABlock folds norm2+MixFFN_skip+residual into the fused kernel
+    path (groups=1, eps 1e-6) when ffn_fold resolves on — identical param
+    tree, init values, and (CPU fallback) outputs vs the unfolded block,
+    including under the nn.vmap path-stacking the MHCA stages use."""
+    from flax import linen as nn
+
+    from transception_tpu.ops.attention import MHCAEncoder
+
+    P, B, H, W, C = 2, 2, 8, 8, 32
+
+    def venc(ffn_fold):
+        return nn.vmap(
+            MHCAEncoder, in_axes=(0, None), out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )(C, num_layers=2, num_heads=8, mlp_ratio=3,
+          ffn_fold=ffn_fold, dtype=jnp.float32)
+
+    x = _rand((P, B, H, W, C), 23)
+    folded, plain = venc(True), venc(False)
+    v1 = folded.init(jax.random.PRNGKey(0), x, True)
+    v2 = plain.init(jax.random.PRNGKey(0), x, True)
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(v2))
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v1)[0],
+            jax.tree_util.tree_flatten_with_path(v2)[0]):
+        assert k1 == k2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(folded.apply(v1, x, True)),
+        np.asarray(plain.apply(v1, x, True)), rtol=1e-5, atol=1e-5)
+
+
+def test_mhca_ffn_fold_kernel_matches_unfolded(monkeypatch):
+    """Same MHCA fold with the REAL kernel path engaged (platform patched
+    to tpu, interpret-mode Mosaic): vmapped fold output must match the
+    unfolded XLA module chain."""
+    import transception_tpu.ops.pallas.mixffn_kernel as mk
+    from flax import linen as nn
+
+    from transception_tpu.ops.attention import MHCAEncoder
+    from transception_tpu.ops.pallas import mixffn as fa
+
+    monkeypatch.setattr(fa, "_target_platform", lambda: "tpu")
+    orig = mk.fused_mixffn_ln_skip
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mk, "fused_mixffn_ln_skip", interp)
+
+    P, B, H, W, C = 2, 1, 8, 8, 32
+
+    def venc(ffn_fold):
+        return nn.vmap(
+            MHCAEncoder, in_axes=(0, None), out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )(C, num_layers=1, num_heads=8, mlp_ratio=3,
+          ffn_fold=ffn_fold, dtype=jnp.float32)
+
+    x = _rand((P, B, H, W, C), 29)
+    folded, plain = venc(True), venc(False)
+    v = folded.init(jax.random.PRNGKey(0), x, True)
+    np.testing.assert_allclose(
+        np.asarray(folded.apply(v, x, True)),
+        np.asarray(plain.apply(v, x, True)), rtol=2e-5, atol=2e-5)

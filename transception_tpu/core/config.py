@@ -145,6 +145,24 @@ class TransceptionConfig:
     # that FFN sub-block goes fully XLA, kernel included) — separate axis
     # so scripts/measure_folds.py can attribute it like the bridge knobs.
     etb_ffn_fold: object = None  # Optional[bool]
+    # Runs each MHCA block's norm2 + MixFFN_skip + residual as the fused
+    # MixFFN kernel, under the stages' nn.vmap (path-stacked weights
+    # batch into the kernel grid). Default False — a MEASURED full-graph
+    # loss despite 2x isolated kernel wins: the MHCA FFNs were the
+    # largest device-time family of the r4 b=128 trace (28.3 ms of
+    # 124 ms, mostly layout roundtrips around the depthwise conv), and
+    # isolated v5e probes beat XLA 2.67 vs 5.25 ms (stage-2 geometry) /
+    # 1.12 vs 2.33 (stage-3) — but in the full graph fold-ON measures
+    # 128.3 vs 124.6 ms: XLA lays the whole stage out batch-minor
+    # (C = 64 half-fills the 128 lanes, batch fills them), and each
+    # kernel's row-major boundary re-imposes relayout copies on the
+    # attention/CPE neighbors (+2.7 ms stage-2, +0.55 stage-3). The one
+    # fix that would pay is chaining whole-block kernels so layouts
+    # only break at stage edges — blocked on a Pallas CRPE (49-tap
+    # shifted-add depthwise would be VPU-bound far past XLA's conv
+    # emitter). Stage 4 (7x7 maps) is always XLA — odd map sides fail
+    # Mosaic's shape-cast (mixffn_kernel._pick_rows).
+    mhca_ffn_fold: object = False  # Optional[bool]
     # Execute the num_path MHCA encoders of each stage as one vmapped
     # (path-stacked-params) call instead of sequentially — same math,
     # measured +14% inference / +81% training on v5e. Changes the param
@@ -285,7 +303,7 @@ class TrainConfig:
 KERNEL_FALLBACK_OVERRIDES: Tuple[dict, ...] = (
     {},
     dict(bridge_attn_fold=False, bridge_ffn_use_pallas=False,
-         etb_attn_fold=False, etb_ffn_fold=False),
+         etb_attn_fold=False, etb_ffn_fold=False, mhca_ffn_fold=False),
     dict(use_pallas=False),
 )
 

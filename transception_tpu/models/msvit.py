@@ -66,6 +66,7 @@ class MHCAStage(nn.Module):
     casa: bool = False
     vectorize_paths: bool = False
     use_pallas: bool = False
+    ffn_fold: object = None  # None -> follow use_pallas (see MHCABlock)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -76,7 +77,8 @@ class MHCAStage(nn.Module):
                           num_heads=self.num_heads,
                           mlp_ratio=self.mlp_ratio,
                           drop_path_rates=self.drop_path_rates,
-                          use_pallas=self.use_pallas, dtype=self.dtype)
+                          use_pallas=self.use_pallas,
+                          ffn_fold=self.ffn_fold, dtype=self.dtype)
         if self.vectorize_paths:
             # One vmapped call over path-stacked params/inputs: identical
             # math to the sequential loop, ~3x faster on TPU (the per-path
@@ -200,7 +202,7 @@ class MSViT(nn.Module):
                 drop_path_rates=dpr[s],
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
                 sa_ker=cfg.sa_ker, vectorize_paths=cfg.vectorize_paths,
-                use_pallas=cfg.use_pallas, dtype=dt,
+                use_pallas=cfg.use_pallas, ffn_fold=cfg.mhca_ffn_fold, dtype=dt,
                 name=f"mhca_stage{s + 2}")(paths, train)
             outs.append(m)
         return outs
@@ -241,7 +243,7 @@ class MSViT4Stages(nn.Module):
                 drop_path_rates=dpr[s],
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
                 sa_ker=cfg.sa_ker, vectorize_paths=cfg.vectorize_paths,
-                use_pallas=cfg.use_pallas, dtype=dt,
+                use_pallas=cfg.use_pallas, ffn_fold=cfg.mhca_ffn_fold, dtype=dt,
                 name=f"mhca_stage{s + 1}")(paths, train)
             outs.append(m)
         return outs
@@ -283,7 +285,7 @@ class MSViTCasa(nn.Module):
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
                 sa_ker=cfg.sa_ker, inter=cfg.inter, casa=True,
                 vectorize_paths=cfg.vectorize_paths,
-                use_pallas=cfg.use_pallas, dtype=dt,
+                use_pallas=cfg.use_pallas, ffn_fold=cfg.mhca_ffn_fold, dtype=dt,
                 name=f"mhca_stage{s + 2}")(paths, train)
             outs.append(m)
         return outs

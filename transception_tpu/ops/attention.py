@@ -288,6 +288,15 @@ class MHCABlock(nn.Module):
     mlp_ratio: int = 3
     drop_path_rate: float = 0.0
     use_pallas: bool = False
+    # None -> follow use_pallas (the ETB convention): run norm2 +
+    # MixFFN_skip + residual as ONE fused kernel (ops/pallas/mixffn.py,
+    # groups=1). These FFNs dominate the MHCA stages' device time — the
+    # r4 trace put 28.3 ms of the 124 ms b=128 forward in them, most of
+    # it XLA layout roundtrips around the depthwise conv (batch-minor
+    # for the conv, channel-minor for the fc dots). The fold runs under
+    # the stages' nn.vmap (path-stacked weights batch into the kernel
+    # grid).
+    ffn_fold: object = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -302,9 +311,23 @@ class MHCABlock(nn.Module):
         x = x + dp(FactorAttConvRelPosEnc(
             self.dim, num_heads=self.num_heads, use_pallas=self.use_pallas,
             dtype=self.dtype, name="factoratt_crpe")(cur, H, W, crpe))
+        want_ffn_fold = (self.use_pallas if self.ffn_fold is None
+                         else bool(self.ffn_fold))
+        # drop_path must stay exact when active: fold only when it is a
+        # no-op (eval, or rate 0) — training runs the XLA branch anyway
+        # (use_pallas_train).
+        if want_ffn_fold and (deterministic or self.drop_path_rate == 0.0):
+            from transception_tpu.ops.common import _LNParams
+            ls2, lb2 = _LNParams(self.dim, name="norm2")()
+            return MixFFNSkip(self.dim, self.dim * self.mlp_ratio,
+                              use_pallas=True, dtype=self.dtype,
+                              name="mlp")(
+                x, H, W, pre_ln=(ls2, lb2, 1, 1e-6), residual=True)
         cur = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + dp(make_ffn("mix_skip", self.dim, self.dim * self.mlp_ratio,
-                            self.dtype, "mlp")(cur, H, W))
+                            self.dtype, "mlp",
+                            use_pallas=self.use_pallas and want_ffn_fold
+                            )(cur, H, W))
         return x
 
 
@@ -320,6 +343,7 @@ class MHCAEncoder(nn.Module):
     crpe_window: tuple = ((3, 2), (5, 3), (7, 3))
     drop_path_rates: tuple = ()
     use_pallas: bool = False
+    ffn_fold: object = None  # None -> follow use_pallas (see MHCABlock)
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
@@ -331,7 +355,7 @@ class MHCAEncoder(nn.Module):
         self.layers = [
             MHCABlock(self.dim, num_heads=self.num_heads,
                       mlp_ratio=self.mlp_ratio, drop_path_rate=rates[i],
-                      use_pallas=self.use_pallas,
+                      use_pallas=self.use_pallas, ffn_fold=self.ffn_fold,
                       dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.num_layers)
         ]

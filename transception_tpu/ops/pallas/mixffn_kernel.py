@@ -32,10 +32,20 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _pick_rows(s: int, C: int, hidden: int, itemsize: int) -> int:
+def _pick_rows(s: int, C: int, hidden: int, itemsize: int,
+               whole_map: bool = True) -> int:
     """Row-tile height < s (>=2 tiles so window clamping is well-defined),
     dividing s, with (rows*s) % 8 == 0 (Mosaic sublane rule) and the
-    padded fp32 window fitting VMEM."""
+    padded fp32 window fitting VMEM. Falls back to rows == s (whole map
+    per grid step, no halo windows — the kernels branch statically) for
+    the small maps where no partial tiling satisfies the sublane rule
+    (s = 14: the MHCA stage-3 and decoder_2 geometries). whole_map=False
+    (the eligible() auto-gate) excludes that fallback: in the full graph
+    the 14² instances measured as small LOSSES (decoder_2 ETB fold
+    ~+0.6 ms b=128; the kernel's row-major boundary forces relayout
+    copies in a region XLA lays out batch-minor), so auto paths keep XLA
+    there while direct kernel calls — and the mhca_ffn_fold knob's
+    isolated-win geometries — can still reach it."""
     for rows in (28, 14, 8, 7, 4, 2, 1):
         if rows >= s or s % rows != 0:
             continue
@@ -47,6 +57,13 @@ def _pick_rows(s: int, C: int, hidden: int, itemsize: int) -> int:
                 + (C + 8) * hidden * itemsize * 2)  # w1, w2ᵀ
         if need <= _VMEM_BUDGET:
             return rows
+    # odd s: Mosaic rejects the (s, s, C)->(s², C) cast the fc dots need
+    if whole_map and s % 2 == 0:
+        win = (s + 2) * (s + 2) * hidden
+        need = (win * 4 * 2 + s * s * C * itemsize
+                + (C + 8) * hidden * itemsize * 2)
+        if need <= _VMEM_BUDGET:
+            return s
     return 0
 
 
@@ -56,7 +73,7 @@ def eligible(x_shape, C: int, hidden: int, dtype) -> bool:
     if s * s != N or C_in != C:
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    return _pick_rows(s, C, hidden, itemsize) > 0
+    return _pick_rows(s, C, hidden, itemsize, whole_map=False) > 0
 
 
 def eligible_ln(x_shape, C: int, hidden: int, groups: int, dtype) -> bool:
@@ -73,7 +90,17 @@ def _ffn_body(xw, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
               eps: float, off, dt):
     """fc1 -> dwconv+skip -> LN -> GELU -> fc2 on one compute-dtype halo
     window xw (R, s, C); returns the fp32 (rows, s, C_out) tile (shared by
-    the plain kernel and the LN+residual-folded variant)."""
+    the plain kernel and the LN+residual-folded variant).
+
+    Vector params arrive as (1, n) 2-D refs (not (n,)): under jax.vmap
+    (the path-stacked MHCA encoders batch per-path weights) a batched
+    1-D operand's (1, n) block fails Mosaic's last-two-dims rule, while
+    (1, 1, n) blocks of a (P, 1, n) array pass; broadcasting against the
+    (R, s, ·) tiles is identical. rows == s means whole-map mode: xw is
+    the full unpadded map and the conv halo comes solely from the
+    in-kernel zero pad. Whole-map requires even s: at s=7 Mosaic's
+    infer-vector-layout rejects the (7, 7, C) -> (49, C) shape cast the
+    fc1 dot needs (measured on v5e; s=14's (196, C) cast lowers fine)."""
     h = jax.lax.dot_general(
         xw, w1_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) \
@@ -144,13 +171,17 @@ def _kernel(x_ref, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
             w2_ref, b2_ref, o_ref, hp_ref, *, s: int, rows: int,
             hidden: int, eps: float):
     dt = o_ref.dtype
-    _, start, off = _window(pl.program_id(1), rows, s)
-    # x is laid out (1, s, s, C); slicing whole rows on dim 1 keeps the
-    # dynamic index off the tiled (sublane/lane) dims, which Mosaic
-    # requires to be statically 8-aligned otherwise. All computation
-    # stays in (rows, cols, feature) 3-D form — Mosaic cannot shape-cast
-    # across the tiled dims.
-    xw = x_ref[0, pl.ds(start, rows + 2), :, :]          # (R, s, C)
+    if rows == s:                                        # whole-map mode
+        off = 0
+        xw = x_ref[0]                                    # (s, s, C)
+    else:
+        _, start, off = _window(pl.program_id(1), rows, s)
+        # x is laid out (1, s, s, C); slicing whole rows on dim 1 keeps
+        # the dynamic index off the tiled (sublane/lane) dims, which
+        # Mosaic requires to be statically 8-aligned otherwise. All
+        # computation stays in (rows, cols, feature) 3-D form — Mosaic
+        # cannot shape-cast across the tiled dims.
+        xw = x_ref[0, pl.ds(start, rows + 2), :, :]      # (R, s, C)
     out = _ffn_body(xw, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
                     w2_ref, b2_ref, hp_ref, s=s, rows=rows, hidden=hidden,
                     eps=eps, off=off, dt=dt)
@@ -171,8 +202,12 @@ def _kernel_ln(x_ref, sel_ref, selt_ref, lts_ref, ltb_ref, w1_ref, b1_ref,
     full-stream norm2 pass and the separate residual add from XLA."""
     dt = o_ref.dtype
     f32 = jnp.float32
-    r0, start, off = _window(pl.program_id(1), rows, s)
-    xraw = x_ref[0, pl.ds(start, rows + 2), :, :]        # (R, s, C) dt
+    if rows == s:                                        # whole-map mode
+        r0, off = 0, 0
+        xraw = x_ref[0]                                  # (s, s, C) dt
+    else:
+        r0, start, off = _window(pl.program_id(1), rows, s)
+        xraw = x_ref[0, pl.ds(start, rows + 2), :, :]    # (R, s, C) dt
     xf = xraw.astype(f32)
     gsz = (xf.shape[-1]) // groups
     ssum = jax.lax.dot_general(                          # (R, s, groups)
@@ -225,34 +260,36 @@ def fused_mixffn_skip(x, w1, b1, dw, dwb, ln_scale, ln_bias, w2, b2, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden,), lambda i, j: (0,),
+            pl.BlockSpec((1, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, hidden), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden,), lambda i, j: (0,),
+            pl.BlockSpec((1, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden,), lambda i, j: (0,),
+            pl.BlockSpec((1, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden,), lambda i, j: (0,),
+            pl.BlockSpec((1, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda i, j: (0,),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows, s, C), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, s, s, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows + 4, s + 2, hidden), jnp.float32)],
+            pltpu.VMEM((rows + (2 if rows == s else 4), s + 2, hidden),
+                       jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * C * hidden * 2 + B * N * hidden * 9 * 2,
             bytes_accessed=2 * B * N * C * itemsize,
             transcendentals=B * N * hidden,
         ),
         interpret=interpret,
-    )(x.reshape(B, s, s, C), w1.astype(x.dtype), b1, dw.astype(x.dtype),
-      dwb, ln_scale, ln_bias, w2.astype(x.dtype), b2)
+    )(x.reshape(B, s, s, C), w1.astype(x.dtype), b1.reshape(1, hidden),
+      dw.astype(x.dtype), dwb.reshape(1, hidden), ln_scale.reshape(1, hidden),
+      ln_bias.reshape(1, hidden), w2.astype(x.dtype), b2.reshape(1, C))
     return out.reshape(B, N, C)
 
 
@@ -299,26 +336,27 @@ def fused_mixffn_ln_skip(x, lts, ltb, w1, b1, dw, dwb, ln_scale, ln_bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden,), lambda i, j: (0,),
+            pl.BlockSpec((1, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, hidden), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden,), lambda i, j: (0,),
+            pl.BlockSpec((1, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden,), lambda i, j: (0,),
+            pl.BlockSpec((1, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden,), lambda i, j: (0,),
+            pl.BlockSpec((1, hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda i, j: (0,),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows, s, C), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, s, s, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows + 4, s + 2, hidden), jnp.float32)],
+            pltpu.VMEM((rows + (2 if rows == s else 4), s + 2, hidden),
+                       jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * C * hidden * 2 + B * N * hidden * 9 * 2,
             bytes_accessed=2 * B * N * C * itemsize,
@@ -327,6 +365,7 @@ def fused_mixffn_ln_skip(x, lts, ltb, w1, b1, dw, dwb, ln_scale, ln_bias,
         interpret=interpret,
     )(x.reshape(B, s, s, C), sel, sel.T, lts.reshape(1, C),
       ltb.reshape(1, C),
-      w1.astype(x.dtype), b1, dw.astype(x.dtype), dwb, ln_scale, ln_bias,
-      w2.astype(x.dtype), b2)
+      w1.astype(x.dtype), b1.reshape(1, hidden), dw.astype(x.dtype),
+      dwb.reshape(1, hidden), ln_scale.reshape(1, hidden),
+      ln_bias.reshape(1, hidden), w2.astype(x.dtype), b2.reshape(1, C))
     return out.reshape(B, N, C)
