@@ -168,11 +168,13 @@ def main():
     # Same volume with the on-device spline resample (exact scipy-derived
     # operator matmuls fused into the forward): host cost drops to pad +
     # H2D of raw 512² slices. Separate field — ~1e-6 input tolerance vs
-    # the strict host-spline protocol path above. Chunk size 74 (two
-    # exact chunks per 148-slice volume): with no host spline to overlap,
-    # fewer dispatches win — measured p50 across chunk sizes on this
-    # tunnel: 32→2.46 s, 80→1.78 s, 160→4.06 s (single huge transfers
-    # stall), vs host-path 1.81 s.
+    # the strict host-spline protocol path above. With no host spline to
+    # overlap, fewer dispatches win — measured p50 across chunk sizes on
+    # this tunnel: 32→2.46 s, 80→1.78 s, 160→4.06 s (single huge
+    # transfers stall), vs host-path 1.81 s. Chunk 74 itself was not in
+    # that sweep: it is chosen to give two exact chunks per 148-slice
+    # volume (no ragged-tail recompile) and assumed equivalent to the
+    # measured 80 (ADVICE r4).
     predict_dr = make_predictor(model, variables, 224, batch=74,
                                 device_resample=True)
     _resize_pred_back(predict_dr.predict_volume(vol[:75]), 512, 512)  # warm

@@ -16,7 +16,12 @@ r4 measured table (b=128, v5e device trace; reproducible to 0.01 ms):
   instances in the ETB blocks handed back to XLA) is a 7.4 ms LOSS
   vs the default, so those kernels stay on.
 
-Usage: python scripts/measure_folds.py [batch]
+Usage: python scripts/measure_folds.py [batch]     (--help prints this)
+
+IMPORTANT for future sweeps: because the deltas are non-additive, always
+rerun the FULL combination grid above — a one-off delta from the current
+default misattributes XLA fusion interactions to the toggled knob (this
+is exactly how the r3 defaults shipped two net-loss folds).
 """
 
 from __future__ import annotations
@@ -32,6 +37,9 @@ import jax.numpy as jnp
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        return
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     from transception_tpu.core.config import TransceptionConfig
     from transception_tpu.models.transception import MSTransception

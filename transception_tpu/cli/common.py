@@ -28,7 +28,9 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--sa_ker", type=int, default=7)
     p.add_argument("--Stage_3or4", type=int, default=3)
     p.add_argument("--inter", type=str, default="res")
-    p.add_argument("--num_sp", type=int, default=0)
+    # Default 1 matches both the reference CLI (test.py:51) and
+    # TransceptionConfig.num_sp; only read by the non-default 'sp' bridge.
+    p.add_argument("--num_sp", type=int, default=1)
     p.add_argument("--br_config", type=int, default=2)
     p.add_argument("--dil_conv", type=int, default=1)
     p.add_argument("--token_mlp", type=str, default="mix_skip")

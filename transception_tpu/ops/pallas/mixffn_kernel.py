@@ -44,8 +44,11 @@ def _pick_rows(s: int, C: int, hidden: int, itemsize: int,
     the 14² instances measured as small LOSSES (decoder_2 ETB fold
     ~+0.6 ms b=128; the kernel's row-major boundary forces relayout
     copies in a region XLA lays out batch-minor), so auto paths keep XLA
-    there while direct kernel calls — and the mhca_ffn_fold knob's
-    isolated-win geometries — can still reach it."""
+    there. Note the mhca_ffn_fold knob ALSO routes through the auto-gate
+    (MHCABlock -> MixFFNSkip -> can_fuse_ln -> eligible(whole_map=False)),
+    so at s=14 it silently falls back to the XLA chain: the knob engages
+    the kernel only at partial-tiling geometries (s=28); whole-map mode is
+    reachable only by direct kernel calls and tests (ADVICE r4)."""
     for rows in (28, 14, 8, 7, 4, 2, 1):
         if rows >= s or s % rows != 0:
             continue
