@@ -136,6 +136,30 @@ def test_data_arrival_drill(tmp_path):
     ])
     assert np.isfinite(mean_dice) and np.isfinite(mean_hd95)
 
+    # Log-format parity with the reference (VERDICT r4 #5): the per-case,
+    # per-class, and summary lines must match test.py:116-122's '%'-format
+    # output byte-for-byte (after the shared '[%H:%M:%S.%03d] ' prefix),
+    # so the day real data arrives the published-table comparison is
+    # copy-paste. '%f' prints 6 decimals -> \d+\.\d{6}.
+    import re
+    log_text = (tmp_path / "eval_out" / "test_log" / "eval.txt").read_text()
+    body = [line.split("] ", 1)[1] for line in log_text.splitlines()
+            if "] " in line]
+    num = r"\d+\.\d{6}"
+    pats = {
+        "iters": rf"^2 test iterations per epoch$",
+        "case": rf"^idx \d+ case \S+ mean_dice {num} mean_hd95 {num}$",
+        "class": rf"^Mean class [1-8] mean_dice {num} mean_hd95 {num}$",
+        "summary": (rf"^Testing performance in best val model: "
+                    rf"mean_dice : {num} mean_hd95 : {num}$"),
+    }
+    counts = {k: sum(bool(re.match(p, l)) for l in body)
+              for k, p in pats.items()}
+    assert counts["iters"] == 1, body[:5]
+    assert counts["case"] == 2, body  # 2 drill volumes
+    assert counts["class"] == 8, body  # classes 1..8
+    assert counts["summary"] == 1, body[-3:]
+
     # NIfTI export round-trips.
     from transception_tpu.eval.nifti import load_nifti
     preds = sorted(os.listdir(os.path.join(eval_out, "predictions")))

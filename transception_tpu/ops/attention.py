@@ -229,21 +229,28 @@ class ConvRelPosEnc(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, q, v, H: int, W: int):
-        B, h, N, Ch = q.shape
+    def __call__(self, q, v, H: int, W: int, params_only: bool = False):
+        from transception_tpu.ops.common import DepthwiseConv
+        Ch = self.ch_per_head
+        convs = []
+        for i, (win, heads) in enumerate(self.window):
+            chs = heads * Ch
+            p = win // 2
+            convs.append((win, DepthwiseConv(
+                chs, (win, win), padding=((p, p), (p, p)),
+                dtype=self.dtype, name=f"conv_{i}")))
+        if params_only:  # whole-block MHCA kernel fetches raw params
+            return [(win, *conv(None, params_only=True))
+                    for win, conv in convs]
+        B, h, N, _ = q.shape
         v_img = v.transpose(0, 2, 1, 3).reshape(B, H, W, h * Ch)
         outs = []
         start = 0
-        for i, (win, heads) in enumerate(self.window):
-            chs = heads * Ch
+        for win, conv in convs:
+            chs = conv.features
             seg = v_img[..., start:start + chs]
             start += chs
-            p = win // 2
-            seg = nn.Conv(chs, (win, win), padding=((p, p), (p, p)),
-                          feature_group_count=chs, dtype=self.dtype,
-                          param_dtype=jnp.float32, kernel_init=xavier,
-                          name=f"conv_{i}")(seg)
-            outs.append(seg)
+            outs.append(conv(seg))
         conv_v = jnp.concatenate(outs, axis=-1)
         conv_v = conv_v.reshape(B, N, h, Ch).transpose(0, 2, 1, 3)
         return q * conv_v

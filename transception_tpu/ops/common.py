@@ -50,6 +50,107 @@ def fwd_only_barrier(x):
     return _b(x)
 
 
+def _depthwise_conv_raw(x, k, stride, padding):
+    import jax
+    return jax.lax.conv_general_dilated(
+        x, k, stride, padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1])
+
+
+def depthwise_conv_op(x, k, stride, padding):
+    """Depthwise conv with a GSPMD-safe kernel-gradient VJP.
+
+    jax 0.9 GSPMD bug (minimal repro: tests/test_tp_grads.py): the KERNEL
+    gradient of a feature_group_count==C convolution whose batch operand
+    is sharded on one mesh axis comes back multiplied by the product of
+    the OTHER mesh axis sizes — x2 on a (data=4, model=2) mesh, x4 on
+    (2, 4) — i.e. the partitioner's grad all-reduce sums over axes the
+    batch sharding never used. Forward and input gradients are correct;
+    regular (fgc=1) convs are unaffected. This silently doubled every
+    depthwise kernel's gradient in tp>=2 training.
+
+    Forward here is the identical lax call (bit-identical logits).
+    Backward: input grad via the standard conv transpose (verified
+    correct under the mesh); kernel grad as kh*kw explicit shifted
+    multiply-reduces — plain jnp.sum reductions, which GSPMD partitions
+    correctly. fp32 accumulation, rounded to the kernel dtype like the
+    conv-grad conv would.
+    """
+    return _depthwise_conv_impl(x, k, tuple(stride),
+                                tuple(map(tuple, padding)))
+
+
+def _make_depthwise_impl():
+    import functools
+
+    import jax
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+    def impl(x, k, stride, padding):
+        return _depthwise_conv_raw(x, k, stride, padding)
+
+    def fwd(x, k, stride, padding):
+        return _depthwise_conv_raw(x, k, stride, padding), (x, k)
+
+    def bwd(stride, padding, res, g):
+        x, k = res
+        _, vjp_x = jax.vjp(
+            lambda xx: _depthwise_conv_raw(xx, k, stride, padding), x)
+        dx, = vjp_x(g)
+        kh, kw, _, C = k.shape
+        (ph0, ph1), (pw0, pw1) = padding
+        sh, sw = stride
+        xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+        Ho, Wo = g.shape[1], g.shape[2]
+        gf = g.astype(jnp.float32)
+        taps = []
+        for di in range(kh):
+            for dj in range(kw):
+                sl = jax.lax.slice(
+                    xp, (0, di, dj, 0),
+                    (xp.shape[0], di + (Ho - 1) * sh + 1,
+                     dj + (Wo - 1) * sw + 1, C),
+                    (1, sh, sw, 1))
+                taps.append(jnp.sum(sl.astype(jnp.float32) * gf,
+                                    axis=(0, 1, 2)))
+        dk = jnp.stack(taps).reshape(kh, kw, 1, C).astype(k.dtype)
+        return dx, dk
+
+    impl.defvjp(fwd, bwd)
+    return impl
+
+
+_depthwise_conv_impl = _make_depthwise_impl()
+
+
+class DepthwiseConv(nn.Module):
+    """Drop-in for ``nn.Conv(C, (kh, kw), feature_group_count=C)``: same
+    param tree (kernel (kh, kw, 1, C) + optional bias) and bit-identical
+    forward, with the GSPMD-safe kernel-grad VJP of depthwise_conv_op."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    padding: tuple = ((0, 0), (0, 0))
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, params_only: bool = False):
+        kh, kw = self.kernel_size
+        kern = self.param("kernel", xavier, (kh, kw, 1, self.features),
+                          jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                        jnp.float32) if self.use_bias else None)
+        if params_only:  # fold paths fetch raw params (tree unchanged)
+            return kern, b
+        y = depthwise_conv_op(x.astype(self.dtype), kern.astype(self.dtype),
+                              self.strides, self.padding)
+        if self.use_bias:
+            y = y + b.astype(self.dtype)
+        return y
+
+
 class LayerNorm(nn.Module):
     """fp32 LayerNorm returning the input compute dtype."""
 
@@ -76,9 +177,8 @@ class DWConv(nn.Module):
     def __call__(self, x, H: int, W: int):
         B, N, C = x.shape
         t = x.reshape(B, H, W, C)
-        t = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=C,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=xavier, name="dwconv")(t)
+        t = DepthwiseConv(C, (3, 3), padding=((1, 1), (1, 1)),
+                          dtype=self.dtype, name="dwconv")(t)
         return t.reshape(B, N, C)
 
 
@@ -130,14 +230,33 @@ class MixFFNSkip(nn.Module):
 
     @nn.compact
     def __call__(self, x, H: int, W: int, pre_ln=None,
-                 residual: bool = False):
+                 residual: bool = False, params_only: bool = False):
         """pre_ln = (scale, bias, groups, eps): apply the CALLER'S LayerNorm
         (e.g. the bridge's shared norm2, as a grouped LN on this wide
         layout) before fc1; residual=True adds the raw (pre-LN) input to
         the output. Both fold into the fused kernel when eligible —
         removing the caller's full-stream LN pass and separate residual
         add from XLA (the bridge layer's two remaining per-layer stream
-        passes, MSTr.py:2402-2407)."""
+        passes, MSTr.py:2402-2407).
+
+        params_only=True creates/returns the raw FFN params without
+        computing (the whole-block MHCA kernel path) — same holder names
+        as the fused branch, so the checkpoint tree is identical. Input
+        width is c1 (true for every MHCA/ETB use)."""
+        if params_only:
+            w1, b1 = _DenseParams((self.c1, self.c2), name="fc1")()
+
+            class _ConvHolderP(nn.Module):
+                c2: int
+
+                @nn.compact
+                def __call__(self):
+                    return _DenseParams((3, 3, 1, self.c2), name="dwconv")()
+
+            dwk, dwb = _ConvHolderP(self.c2, name="dwconv")()
+            ls, lb = _LNParams(self.c2, name="norm1")()
+            w2, b2 = _DenseParams((self.c2, self.c1), name="fc2")()
+            return w1, b1, dwk, dwb, ls, lb, w2, b2
         if self.use_pallas:
             from transception_tpu.ops.pallas.mixffn import (
                 can_fuse,
@@ -368,12 +487,14 @@ class ConvPosEnc(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, H: int, W: int):
+    def __call__(self, x, H: int, W: int, params_only: bool = False):
+        p = self.k // 2
+        proj = DepthwiseConv(self.dim, (self.k, self.k),
+                             padding=((p, p), (p, p)), dtype=self.dtype,
+                             name="proj")
+        if params_only:  # whole-block MHCA kernel fetches raw params
+            return proj(None, params_only=True)
         B, N, C = x.shape
         t = x.reshape(B, H, W, C)
-        p = self.k // 2
-        y = nn.Conv(C, (self.k, self.k), padding=((p, p), (p, p)),
-                    feature_group_count=C, dtype=self.dtype,
-                    param_dtype=jnp.float32, kernel_init=xavier,
-                    name="proj")(t)
+        y = proj(t)
         return (y + t).reshape(B, N, C)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from transception_tpu.ops.common import xavier
+from transception_tpu.ops.common import DepthwiseConv, xavier
 
 Dtype = Any
 
@@ -87,11 +87,10 @@ class DWConv2dBN(nn.Module):
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
         p = (k - 1) // 2
-        y = nn.Conv(self.out_ch, (k, k), strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)),
-                    feature_group_count=self.out_ch, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=xavier, name="dwconv")(x)
+        y = DepthwiseConv(self.out_ch, (k, k),
+                          strides=(self.stride, self.stride),
+                          padding=((p, p), (p, p)), use_bias=False,
+                          dtype=self.dtype, name="dwconv")(x)
         y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, kernel_init=xavier,
                     name="pwconv")(y)
@@ -150,10 +149,9 @@ class ResBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         h = Conv2dBN(self.dim, act="hardswish", dtype=self.dtype,
                      name="conv1")(x, train)
-        h = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
-                    feature_group_count=self.dim, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=xavier, name="dwconv")(h)
+        h = DepthwiseConv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                          use_bias=False, dtype=self.dtype,
+                          name="dwconv")(h)
         h = BatchNorm(dtype=self.dtype, name="norm")(h, train)
         h = hardswish(h)
         h = Conv2dBN(self.dim, dtype=self.dtype, name="conv2")(h, train)

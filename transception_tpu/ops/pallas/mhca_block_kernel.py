@@ -1,0 +1,266 @@
+"""Pallas TPU kernel: one fused MHCABlock forward (networks/MSTr.py:905-946).
+
+CPE (3x3 depthwise + residual) -> LN1 -> FactorAtt(+CRPE) -> residual ->
+LN2 -> MixFFN_skip -> residual, for one (path*batch) token map per grid
+row, entirely in VMEM.
+
+Why: the r4 b=128 trace put ~29 ms of the 124 ms forward in the MHCA
+stage-2/3 token ops, most of it NOT arithmetic: XLA lays these stages out
+batch-minor (C=64 half-fills the 128 lanes), lowers the FFN fc dots with
+batch-in-lanes *convolution* emitters (1.26 ms for a 9.9 GFLOP fc2 whose
+roofline is ~0.3 ms), and re-layouts the hidden stream around every
+depthwise conv (0.47 ms x 2 copies per stage-2 layer). Fusing the whole
+block makes layouts break only at stage edges — the fix the r4 fold
+sweep identified after per-op folds lost to exactly these boundary
+copies (core/config.py mhca_ffn_fold note).
+
+Two tricks remove the Mosaic blockers that stopped a whole-block kernel
+in r4:
+
+* Per-head factorized attention without lane-dim reshapes: softmax(K) over
+  tokens is per-column (no head structure); the per-head context
+  K_h^T V_h stack equals the BLOCK DIAGONAL of the full (C, C) Gram
+  K^T V, so one MXU dot + a static 0/1 block mask replaces the
+  (B, h, N, d) split/merge that Mosaic cannot shape-cast (C -> (h, d)
+  splits the lane dim). The off-block elements are wasted FLOPs on a
+  64x64-320x320 matrix — noise next to the relayouts they remove.
+* CRPE's mixed 3/5/7 windows (MSTr.py:958 {3:2, 5:3, 7:3} heads) as ONE
+  7x7 depthwise conv whose weights are host-side zero-padded per channel
+  (window-3 head channels have their 3x3 at the center, etc.) — channel
+  slicing on the lane dim never happens in-kernel.
+
+The FFN reuses mixffn_kernel._ffn_body in whole-map mode. Numerics follow
+the module chain's rounding points (fp32 MXU accumulation, round to the
+compute dtype where each flax Dense/Conv emits it); parity is pinned by
+tests/test_mhca_block_kernel.py. Requires even map side s (Mosaic rejects
+the (s, s, C) <-> (s*s, C) casts at odd s — measured at s=7, so MHCA
+stage 4 stays XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from transception_tpu.ops.pallas.mixffn_kernel import _VMEM_BUDGET, _ffn_body
+
+
+def eligible_block(x_shape, C: int, heads: int, hidden: int, window,
+                   dtype) -> bool:
+    """Static gate: square even-side map, head-divisible C, window spec
+    covering exactly C channels with odd sizes <= 9, and VMEM fit."""
+    B, N, C_in = x_shape
+    s = int(round(N ** 0.5))
+    if s * s != N or C_in != C or s % 2 != 0:
+        return False
+    if C % heads or hidden % 128:
+        return False
+    d = C // heads
+    if sum(h for _, h in window) != heads:
+        return False
+    if any(w % 2 == 0 or w > 9 for w, _ in window):
+        return False
+    wmax = max(w for w, _ in window)
+    itemsize = jnp.dtype(dtype).itemsize
+    need = (
+        (s + 2) * (s + 2) * C * 4           # CPE pad scratch
+        + (s + wmax - 1) * (s + wmax - 1) * C * 4   # CRPE pad scratch
+        + (s + 2) * (s + 2) * hidden * 4    # FFN pad scratch
+        + s * s * C * itemsize * 6          # x, x1, q, k, v, att residents
+        + s * s * hidden * 4                # FFN hidden tile
+        + C * (3 * C + 2 * C + 2 * hidden) * itemsize  # weight matrices
+    )
+    return need <= _VMEM_BUDGET
+
+
+def _dwconv_pad(xm, pad_ref, w_ref, b_ref, *, s: int, k: int, f32=jnp.float32):
+    """k x k depthwise conv via shifted multiply-adds on a zero-padded VMEM
+    scratch. xm: (s, s, C) fp32; w_ref: (k, k, C); returns (s, s, C) fp32
+    (bias added, not rounded). Column shifts hoisted out of the tap loop
+    (a column shift is a funnel pass; row shifts slice the untiled leading
+    dim for free — mixffn_kernel precedent)."""
+    p = k // 2
+    pad_ref[...] = jnp.pad(xm, ((p, p), (p, p), (0, 0)))
+    w = w_ref[...].astype(f32)
+    acc = jnp.zeros(xm.shape, f32)
+    q = pad_ref[...]
+    for dj in range(k):
+        csh = jax.lax.slice_in_dim(q, dj, dj + s, axis=1)
+        for di in range(k):
+            sl = jax.lax.slice_in_dim(csh, di, di + s, axis=0)
+            acc = acc + sl * w[di, dj][None, None, :]
+    return acc + b_ref[...].astype(f32)
+
+
+def _ln(xf, s_ref, b_ref, eps: float):
+    """fp32 LayerNorm over the minor axis (flax var = E[x^2] - E[x]^2)."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+
+
+def _kernel(x_ref, cpek_ref, cpeb_ref, l1s_ref, l1b_ref, wq_ref, bq_ref,
+            wk_ref, bk_ref, wv_ref, bv_ref, mask_ref, crpek_ref, crpeb_ref,
+            wp_ref, bp_ref, l2s_ref, l2b_ref, w1_ref, b1_ref, dw_ref,
+            dwb_ref, lns_ref, lnb_ref, w2_ref, b2_ref, o_ref,
+            pad3_ref, padw_ref, padh_ref, *, s: int, C: int, hidden: int,
+            wmax: int, scale: float):
+    dt = o_ref.dtype
+    f32 = jnp.float32
+    N = s * s
+    x = x_ref[0]                                       # (s, s, C) dt
+
+    # --- CPE: 3x3 depthwise + residual (ConvPosEnc) ---
+    y = _dwconv_pad(x.astype(f32), pad3_ref, cpek_ref, cpeb_ref, s=s, k=3)
+    x1 = y.astype(dt) + x                              # conv rounds, add dt
+    x1t = x1.reshape(N, C)
+
+    # --- LN1 (eps from caller's norm1; flax returns fp32 -> dt) ---
+    cur = _ln(x1t.astype(f32), l1s_ref, l1b_ref, 1e-6).astype(dt)
+
+    # --- QKV (three column slices of the fused qkv Dense) ---
+    def dense(t, w_ref, b_ref):
+        o = jax.lax.dot_general(
+            t, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        return o.astype(dt) + b_ref[...].astype(dt)
+
+    q = dense(cur, wq_ref, bq_ref)                     # (N, C) dt
+    k = dense(cur, wk_ref, bk_ref)
+    v = dense(cur, wv_ref, bv_ref)
+
+    # --- softmax(K) over tokens, per column (fp32) ---
+    kf = k.astype(f32)
+    kmax = jnp.max(kf, axis=0, keepdims=True)
+    ke = jnp.exp(kf - kmax)
+    ks = (ke / jnp.sum(ke, axis=0, keepdims=True)).astype(dt)
+
+    # --- factorized attention via block-diagonal-masked Gram ---
+    gram = jax.lax.dot_general(                        # (C, C) fp32
+        ks, v, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    gm = gram.astype(dt) * mask_ref[...]               # zero off-head blocks
+    att = jax.lax.dot_general(
+        q, gm, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    att = (scale * att).astype(dt)                     # (N, C)
+
+    # --- CRPE: unified wmax x wmax depthwise over V, Hadamard with Q ---
+    conv_v = _dwconv_pad(v.reshape(s, s, C).astype(f32), padw_ref,
+                         crpek_ref, crpeb_ref, s=s, k=wmax)
+    crpe = q.reshape(s, s, C) * conv_v.astype(dt)
+    att = att + crpe.reshape(N, C)
+
+    # --- projection + residual ---
+    o = dense(att, wp_ref, bp_ref)
+    x2 = x1t + o                                       # (N, C) dt
+
+    # --- LN2 + MixFFN_skip (whole-map _ffn_body) + residual ---
+    xw = _ln(x2.astype(f32), l2s_ref, l2b_ref, 1e-6).astype(dt)
+    ffn = _ffn_body(xw.reshape(s, s, C), w1_ref, b1_ref, dw_ref, dwb_ref,
+                    lns_ref, lnb_ref, w2_ref, b2_ref, padh_ref,
+                    s=s, rows=s, hidden=hidden, eps=1e-5, off=0, dt=dt)
+    out = (ffn.astype(dt).astype(f32)
+           + x2.reshape(s, s, C).astype(f32)).astype(dt)
+    o_ref[0] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "heads", "hidden", "window", "interpret"))
+def fused_mhca_block(x, cpe_k, cpe_b, ln1_s, ln1_b, qkv_k, qkv_b,
+                     crpe_ks, crpe_bs, proj_k, proj_b, ln2_s, ln2_b,
+                     w1, b1, dw, dwb, ln_s, ln_b, w2, b2, *,
+                     s: int, heads: int, hidden: int,
+                     window=((3, 2), (5, 3), (7, 3)), interpret=False):
+    """One MHCABlock forward. x: (B, s², C). qkv_k: (C, 3C) fused Dense
+    kernel; crpe_ks/crpe_bs: tuples of per-window (w, w, 1, chs)/(chs,)
+    params in channel order (head-major — matches ConvRelPosEnc).
+    Returns (B, s², C)."""
+    B, N, C = x.shape
+    dt = x.dtype
+    d = C // heads
+    wmax = max(w for w, _ in window)
+
+    # Host-side weight prep (traced jnp ops on small params).
+    wq, wk, wv = (qkv_k[:, :C], qkv_k[:, C:2 * C], qkv_k[:, 2 * C:])
+    bq, bk, bv = (qkv_b[:C], qkv_b[C:2 * C], qkv_b[2 * C:])
+    # Block-diagonal head mask (C, C).
+    hid = jnp.arange(C, dtype=jnp.int32) // d
+    mask = (hid[:, None] == hid[None, :]).astype(dt)
+    # Unified CRPE weights: zero-pad each window's (w, w, chs) into the
+    # center of (wmax, wmax, chs); concat channels head-major.
+    segs, bsegs = [], []
+    for (w, _h), kern, bias in zip(window, crpe_ks, crpe_bs):
+        chs = kern.shape[-1]
+        p = (wmax - w) // 2
+        segs.append(jnp.pad(kern.reshape(w, w, chs),
+                            ((p, p), (p, p), (0, 0))))
+        bsegs.append(bias)
+    crpe_k = jnp.concatenate(segs, axis=-1)            # (wmax, wmax, C)
+    crpe_b = jnp.concatenate(bsegs, axis=-1)
+
+    scale = float(d) ** -0.5
+    vec = lambda a, n: a.reshape(1, n)  # noqa: E731
+    mat2 = [
+        pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, s=s, C=C, hidden=hidden, wmax=wmax,
+                          scale=scale),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, s, s, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec((3, 3, C)), spec((1, C)),              # cpe
+            spec((1, C)), spec((1, C)),                 # ln1
+            spec((C, C)), spec((1, C)),                 # wq bq
+            spec((C, C)), spec((1, C)),                 # wk bk
+            spec((C, C)), spec((1, C)),                 # wv bv
+            spec((C, C)),                               # head mask
+            spec((wmax, wmax, C)), spec((1, C)),        # crpe
+            spec((C, C)), spec((1, C)),                 # proj
+            spec((1, C)), spec((1, C)),                 # ln2
+            spec((C, hidden)), spec((1, hidden)),       # fc1
+            spec((3, 3, hidden)), spec((1, hidden)),    # ffn dwconv
+            spec((1, hidden)), spec((1, hidden)),       # ffn LN
+            spec((hidden, C)), spec((1, C)),            # fc2
+        ],
+        out_specs=pl.BlockSpec((1, s, s, C), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, s, s, C), dt),
+        scratch_shapes=[
+            pltpu.VMEM((s + 2, s + 2, C), jnp.float32),
+            pltpu.VMEM((s + wmax - 1, s + wmax - 1, C), jnp.float32),
+            pltpu.VMEM((s + 2, s + 2, hidden), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * (3 * C + 2 * C + 2 * hidden)
+            + B * N * C * (9 + wmax * wmax) * 2
+            + B * N * hidden * 9 * 2 + 2 * B * C * C * N,
+            bytes_accessed=2 * B * N * C * jnp.dtype(dt).itemsize,
+            transcendentals=B * N * (C + hidden),
+        ),
+        interpret=interpret,
+    )(x.reshape(B, s, s, C),
+      cpe_k.reshape(3, 3, C).astype(dt), vec(cpe_b, C),
+      vec(ln1_s, C), vec(ln1_b, C),
+      wq.astype(dt), vec(bq, C), wk.astype(dt), vec(bk, C),
+      wv.astype(dt), vec(bv, C), mask,
+      crpe_k.astype(dt), vec(crpe_b, C),
+      proj_k.astype(dt), vec(proj_b, C),
+      vec(ln2_s, C), vec(ln2_b, C),
+      w1.astype(dt), vec(b1, hidden), dw.reshape(3, 3, hidden).astype(dt),
+      vec(dwb, hidden), vec(ln_s, hidden), vec(ln_b, hidden),
+      w2.astype(dt), vec(b2, C))
+    _ = mat2
+    return out.reshape(B, N, C)
