@@ -1,9 +1,11 @@
 """Device-trace measurement of the train step at a given batch size.
 
-Usage: python scripts/measure_train.py [batch] [--std-head]
+Usage: python scripts/measure_train.py [batch] [--std-head] [--flash]
 Mirrors Trainer's kernel gating (XLA everywhere except the bridge
 attention, which has a real Pallas backward) and its wide-layout loss
-(--std-head measures the standard post-shuffle head instead).
+(--std-head measures the standard post-shuffle head instead;
+--flash keeps the fused MixFFN_skip kernels on with the flash Pallas
+backward, cfg.ffn_flash_train).
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ import jax.numpy as jnp
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     wide = "--std-head" not in sys.argv
+    flash = "--flash" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 24
 
@@ -29,7 +32,7 @@ def main():
     from transception_tpu.train.trainer import make_train_step, train_step_model
     from transception_tpu.utils.profiling import device_time_per_call
 
-    cfg = TransceptionConfig()
+    cfg = TransceptionConfig(ffn_flash_train=flash)
     # The trainer's exact train-step kernel gating (single source of truth).
     model = train_step_model(MSTransception(cfg))
     x = jnp.zeros((batch, 224, 224, 1), jnp.float32)

@@ -106,6 +106,10 @@ def main():
         # without-it graph to find the next target.
         import dataclasses as dc
         cfg = dc.replace(cfg, bridge_attn_fold=False)
+    if "--block-fold" in sys.argv:
+        # Whole-block MHCA kernel engaged (stages 2-3) for attribution.
+        import dataclasses as dc
+        cfg = dc.replace(cfg, mhca_block_fold=True)
     model = MSTransception(cfg)
     x = jnp.zeros((batch, 224, 224, 1), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(

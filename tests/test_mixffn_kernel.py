@@ -286,6 +286,165 @@ def test_folded_facade_grads_match_unfolded_composition():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("s,C,hidden,groups", [
+    (8, 64, 256, 1),      # partial tiling (rows=4, clamped halo windows)
+    (16, 64, 256, 2),     # 2 tiles of 8, grouped LN
+    (14, 128, 384, 1),    # whole-map mode (MHCA stage-3 geometry)
+    (8, 320, 1280, 5),    # bridge scale-2 grouping
+])
+def test_flash_bwd_matches_reference_vjp(s, C, hidden, groups):
+    """The flash Pallas backward (recompute-in-VMEM, on-chip weight-grad
+    accumulation across batch x row-tile grid) must match jax.vjp of the
+    jnp mirror on every input/param cotangent (fp32)."""
+    from transception_tpu.ops.pallas.mixffn import _reference_impl_ln
+    from transception_tpu.ops.pallas.mixffn_kernel import (
+        eligible_ln_bwd,
+        fused_mixffn_ln_skip_bwd,
+    )
+    x = _rand((2, s * s, C), 41)
+    g = _rand((2, s * s, C), 42)
+    p = _params(C, hidden, 43)
+    _, _, lts, ltb = _ln_params(C, groups, 44)
+    args = (x, lts, ltb, p["w1"], p["b1"], p["dw"], p["dwb"], p["ls"],
+            p["lb"], p["w2"], p["b2"])
+    assert eligible_ln_bwd(x.shape, C, hidden, groups, x.dtype)
+    got = fused_mixffn_ln_skip_bwd(
+        *args, g, s=s, hidden=hidden, groups=groups, interpret=True)
+    _, vjp = jax.vjp(
+        lambda *a: _reference_impl_ln(*a, s, hidden, groups, 1e-5, 1e-5),
+        *args)
+    want = vjp(g)
+    names = ("dx", "dlts", "dltb", "dw1", "db1", "ddw", "ddwb", "dls",
+             "dlb", "dw2", "db2")
+    for n, a, b in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)
+
+
+def test_flash_bwd_edge_energy():
+    """Cotangent energy only on the map border: the clamped backward halo
+    windows and the convᵀ zero rows must reproduce autodiff exactly."""
+    from transception_tpu.ops.pallas.mixffn import _reference_impl_ln
+    from transception_tpu.ops.pallas.mixffn_kernel import (
+        fused_mixffn_ln_skip_bwd,
+    )
+    s, C, hidden, groups = 16, 64, 256, 1
+    x = _rand((1, s * s, C), 51)
+    g = np.zeros((1, s * s, C), np.float32)
+    gm = g.reshape(1, s, s, C)
+    gm[0, 0], gm[0, -1], gm[0, :, 0], gm[0, :, -1] = 1.0, -1.0, 0.5, -0.5
+    g = jnp.asarray(g)
+    p = _params(C, hidden, 52)
+    _, _, lts, ltb = _ln_params(C, groups, 53)
+    args = (x, lts, ltb, p["w1"], p["b1"], p["dw"], p["dwb"], p["ls"],
+            p["lb"], p["w2"], p["b2"])
+    got = fused_mixffn_ln_skip_bwd(
+        *args, g, s=s, hidden=hidden, groups=groups, interpret=True)
+    _, vjp = jax.vjp(
+        lambda *a: _reference_impl_ln(*a, s, hidden, groups, 1e-5, 1e-5),
+        *args)
+    want = vjp(g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_bwd_bf16_grads_close():
+    """bf16 inputs: the flash backward recomputes in fp32 where autodiff
+    of the mirror rounds per-op — grads agree within bf16 tolerance."""
+    from transception_tpu.ops.pallas.mixffn import _reference_impl_ln
+    from transception_tpu.ops.pallas.mixffn_kernel import (
+        fused_mixffn_ln_skip_bwd,
+    )
+    s, C, hidden, groups = 8, 64, 256, 1
+    x = _rand((1, s * s, C), 61).astype(jnp.bfloat16)
+    g = _rand((1, s * s, C), 62).astype(jnp.bfloat16)
+    p = _params(C, hidden, 63)
+    _, _, lts, ltb = _ln_params(C, groups, 64)
+    args = (x, lts, ltb, p["w1"], p["b1"], p["dw"], p["dwb"], p["ls"],
+            p["lb"], p["w2"], p["b2"])
+    got = fused_mixffn_ln_skip_bwd(
+        *args, g, s=s, hidden=hidden, groups=groups, interpret=True)
+    _, vjp = jax.vjp(
+        lambda *a: _reference_impl_ln(*a, s, hidden, groups, 1e-5, 1e-5),
+        *args)
+    want = vjp(g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_flash_bwd_eligibility():
+    from transception_tpu.ops.pallas.mixffn_kernel import eligible_ln_bwd
+    # Published train geometries: ETB s=56, bridge scales, MHCA stages.
+    assert eligible_ln_bwd((24, 56 * 56, 64), 64, 256, 1, jnp.bfloat16)
+    assert eligible_ln_bwd((24, 28 * 28, 128), 128, 512, 2, jnp.bfloat16)
+    assert eligible_ln_bwd((24, 14 * 14, 320), 320, 1280, 5, jnp.bfloat16)
+    assert eligible_ln_bwd((24, 28 * 28, 64), 64, 192, 1, jnp.bfloat16)
+    # Odd map sides (bridge scale-3 / MHCA stage-4) stay on the vjp path.
+    assert not eligible_ln_bwd((24, 7 * 7, 512), 512, 2048, 8,
+                               jnp.bfloat16)
+
+
+def test_flash_bwd_module_grads_match_unfolded(monkeypatch):
+    """Gradients THROUGH the folded MixFFNSkip module (platform patched
+    to tpu, fwd + flash bwd kernels in interpret mode) must match the
+    unfolded XLA composition — the exact dispatch path ffn_flash_train
+    engages in the train step."""
+    import transception_tpu.ops.pallas.mixffn_kernel as mk
+    from transception_tpu.ops.pallas import mixffn as fa
+
+    monkeypatch.setattr(fa, "_target_platform", lambda: "tpu")
+    for fn in ("fused_mixffn_ln_skip", "fused_mixffn_ln_skip_bwd"):
+        orig = getattr(mk, fn)
+
+        def interp(*a, _o=orig, **kw):
+            kw["interpret"] = True
+            return _o(*a, **kw)
+
+        monkeypatch.setattr(mk, fn, interp)
+
+    s, C, hidden = 8, 64, 256
+    x = _rand((1, s * s, C), 71)
+    pls, plb, _, _ = _ln_params(C, 1, 72)
+    m_fold = MixFFNSkip(C, hidden, use_pallas=True, dtype=jnp.float32)
+    m_plain = MixFFNSkip(C, hidden, use_pallas=False, dtype=jnp.float32)
+    v = m_fold.init(jax.random.PRNGKey(0), x, s, s,
+                    pre_ln=(pls, plb, 1, 1e-5), residual=True)
+
+    def loss(mod, params, xx):
+        out = mod.apply(params, xx, s, s, pre_ln=(pls, plb, 1, 1e-5),
+                        residual=True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g1 = jax.grad(loss, argnums=(1, 2))(m_fold, v, x)
+    g2 = jax.grad(loss, argnums=(1, 2))(m_plain, v, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_train_step_model_flash_gating():
+    """train_step_model must keep the FFN kernels on (with flash
+    backwards) iff cfg.ffn_flash_train — the single source of truth the
+    trainer, bench.py and measure_train.py share."""
+    from transception_tpu.core.config import TransceptionConfig
+    from transception_tpu.models.transception import MSTransception
+    from transception_tpu.train.trainer import train_step_model
+
+    base = TransceptionConfig()
+    off = train_step_model(MSTransception(base)).cfg
+    assert off.bridge_ffn_use_pallas is False
+    assert off.use_pallas is False and off.bridge_use_pallas is True
+    on = train_step_model(
+        MSTransception(TransceptionConfig(ffn_flash_train=True))).cfg
+    assert on.bridge_ffn_use_pallas is True
+    assert on.etb_ffn_fold is True and on.mhca_ffn_fold is True
+    assert on.bridge_attn_fold is False  # eval-only folds stay off
+
+
 def test_bridge_layer_fold_matches_unfolded():
     """BridgeLayer4's folded FFN section (grouped in-FFN norm2 + residual
     epilogues, engaged when FFN kernels are on) is numerically identical

@@ -163,6 +163,24 @@ class TransceptionConfig:
     # emitter). Stage 4 (7x7 maps) is always XLA — odd map sides fail
     # Mosaic's shape-cast (mixffn_kernel._pick_rows).
     mhca_ffn_fold: object = False  # Optional[bool]
+    # Runs each WHOLE MHCA block (CPE -> LN1 -> FactorAtt+CRPE -> res ->
+    # LN2 -> MixFFN_skip -> res) as ONE Pallas kernel
+    # (ops/pallas/mhca_block_kernel.py) so XLA layouts only break at
+    # stage edges — the structural fix the r4 sweep named for the
+    # 28.3 ms of MHCA layout roundtrips that per-op folds (mhca_ffn_fold)
+    # could not recover. Covers stages 2-3 (even map sides); stage 4's
+    # 7x7 maps stay XLA (Mosaic shape-cast). Subsumes mhca_ffn_fold
+    # where eligible. None => follow use_pallas; default pending a
+    # full-graph device measurement (scripts/measure_folds.py).
+    mhca_block_fold: object = False  # Optional[bool]
+    # Keep the fused MixFFN_skip kernels ON in the TRAIN step (ETB +
+    # MHCA folds and the bridge per-scale FFNs), paired with the flash
+    # Pallas backward (mixffn_kernel._bwd_kernel_ln): recompute-in-VMEM
+    # per row tile, weight grads accumulated on-chip — unlike the r2
+    # custom-VJPs, the hidden stream never crosses HBM in either
+    # direction. Resolved by train_step_model; default pending a bs-24
+    # device measurement (scripts/measure_train.py --flash).
+    ffn_flash_train: bool = False
     # Execute the num_path MHCA encoders of each stage as one vmapped
     # (path-stacked-params) call instead of sequentially — same math,
     # measured +14% inference / +81% training on v5e. Changes the param

@@ -67,6 +67,7 @@ class MHCAStage(nn.Module):
     vectorize_paths: bool = False
     use_pallas: bool = False
     ffn_fold: object = None  # None -> follow use_pallas (see MHCABlock)
+    block_fold: object = None  # None -> follow use_pallas (see MHCABlock)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -78,7 +79,8 @@ class MHCAStage(nn.Module):
                           mlp_ratio=self.mlp_ratio,
                           drop_path_rates=self.drop_path_rates,
                           use_pallas=self.use_pallas,
-                          ffn_fold=self.ffn_fold, dtype=self.dtype)
+                          ffn_fold=self.ffn_fold,
+                          block_fold=self.block_fold, dtype=self.dtype)
         if self.vectorize_paths:
             # One vmapped call over path-stacked params/inputs: identical
             # math to the sequential loop, ~3x faster on TPU (the per-path
@@ -202,7 +204,8 @@ class MSViT(nn.Module):
                 drop_path_rates=dpr[s],
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
                 sa_ker=cfg.sa_ker, vectorize_paths=cfg.vectorize_paths,
-                use_pallas=cfg.use_pallas, ffn_fold=cfg.mhca_ffn_fold, dtype=dt,
+                use_pallas=cfg.use_pallas, ffn_fold=cfg.mhca_ffn_fold,
+                block_fold=cfg.mhca_block_fold, dtype=dt,
                 name=f"mhca_stage{s + 2}")(paths, train)
             outs.append(m)
         return outs
@@ -243,7 +246,8 @@ class MSViT4Stages(nn.Module):
                 drop_path_rates=dpr[s],
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
                 sa_ker=cfg.sa_ker, vectorize_paths=cfg.vectorize_paths,
-                use_pallas=cfg.use_pallas, ffn_fold=cfg.mhca_ffn_fold, dtype=dt,
+                use_pallas=cfg.use_pallas, ffn_fold=cfg.mhca_ffn_fold,
+                block_fold=cfg.mhca_block_fold, dtype=dt,
                 name=f"mhca_stage{s + 1}")(paths, train)
             outs.append(m)
         return outs
@@ -285,7 +289,8 @@ class MSViTCasa(nn.Module):
                 use_sa=cfg.use_sa_list[min(s, len(cfg.use_sa_list) - 1)],
                 sa_ker=cfg.sa_ker, inter=cfg.inter, casa=True,
                 vectorize_paths=cfg.vectorize_paths,
-                use_pallas=cfg.use_pallas, ffn_fold=cfg.mhca_ffn_fold, dtype=dt,
+                use_pallas=cfg.use_pallas, ffn_fold=cfg.mhca_ffn_fold,
+                block_fold=cfg.mhca_block_fold, dtype=dt,
                 name=f"mhca_stage{s + 2}")(paths, train)
             outs.append(m)
         return outs

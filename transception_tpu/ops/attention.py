@@ -268,7 +268,15 @@ class FactorAttConvRelPosEnc(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, H: int, W: int, crpe: ConvRelPosEnc):
+    def __call__(self, x, H: int, W: int, crpe: ConvRelPosEnc,
+                 params_only: bool = False):
+        if params_only:  # whole-block MHCA kernel fetches raw params
+            from transception_tpu.ops.common import _DenseParams
+            assert self.qkv_bias, "block fold assumes qkv bias"
+            wqkv, bqkv = _DenseParams((self.dim, 3 * self.dim),
+                                      name="qkv")()
+            wp, bp = _DenseParams((self.dim, self.dim), name="proj")()
+            return wqkv, bqkv, wp, bp
         B, N, C = x.shape
         h = self.num_heads
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -304,11 +312,57 @@ class MHCABlock(nn.Module):
     # the stages' nn.vmap (path-stacked weights batch into the kernel
     # grid).
     ffn_fold: object = None
+    # None -> follow use_pallas: run the WHOLE block (CPE -> LN1 ->
+    # FactorAtt(+CRPE) -> res -> LN2 -> MixFFN_skip -> res) as ONE Pallas
+    # kernel (ops/pallas/mhca_block.py) so XLA layouts only break at
+    # stage edges — the fix the r4 fold sweep named for the 28.3 ms of
+    # layout roundtrips the per-op folds could not recover. Subsumes
+    # ffn_fold when eligible (even map side; stage 4's 7x7 stays XLA).
+    block_fold: object = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, H: int, W: int, cpe, crpe,
                  deterministic: bool = True):
+        want_block = (self.use_pallas if self.block_fold is None
+                      else bool(self.block_fold))
+        # drop_path must stay exact when active: fold only when it is a
+        # no-op (eval, or rate 0) — training runs the XLA branch anyway
+        # (use_pallas_train).
+        if want_block and H == W and (deterministic
+                                      or self.drop_path_rate == 0.0):
+            from transception_tpu.ops.pallas.mhca_block import (
+                can_fold_block,
+                fused_mhca_block_folded,
+            )
+            hidden = self.dim * self.mlp_ratio
+            window = tuple(crpe.window)
+            if can_fold_block(x.shape, self.dim, self.num_heads, hidden,
+                              window, self.dtype):
+                # Param holders mirror the module leaves exactly (cpe and
+                # crpe are the encoder's bound modules; the rest create
+                # the same paths the unfolded branch would), so folded
+                # and unfolded structures share one checkpoint tree.
+                from transception_tpu.ops.common import _LNParams
+                cpe_k, cpe_b = cpe(x, H, W, params_only=True)
+                ls1, lb1 = _LNParams(self.dim, name="norm1")()
+                wqkv, bqkv, wp, bp = FactorAttConvRelPosEnc(
+                    self.dim, num_heads=self.num_heads,
+                    use_pallas=self.use_pallas, dtype=self.dtype,
+                    name="factoratt_crpe")(x, H, W, crpe, params_only=True)
+                crpe_params = crpe(None, None, H, W, params_only=True)
+                ls2, lb2 = _LNParams(self.dim, name="norm2")()
+                w1, b1, dwk, dwb, lns, lnb, w2, b2 = MixFFNSkip(
+                    self.dim, hidden, dtype=self.dtype, name="mlp")(
+                    x, H, W, params_only=True)
+                return fused_mhca_block_folded(
+                    x.astype(self.dtype), cpe_k, cpe_b, ls1, lb1,
+                    wqkv, bqkv,
+                    tuple(p[1] for p in crpe_params),
+                    tuple(p[2] for p in crpe_params),
+                    wp, bp, ls2, lb2, w1, b1, dwk, dwb, lns, lnb, w2, b2,
+                    s=H, heads=self.num_heads, hidden=hidden,
+                    window=window)
         dp = lambda b: drop_path(  # noqa: E731
             b, self.drop_path_rate, deterministic,
             self.make_rng("dropout") if (not deterministic
@@ -351,6 +405,7 @@ class MHCAEncoder(nn.Module):
     drop_path_rates: tuple = ()
     use_pallas: bool = False
     ffn_fold: object = None  # None -> follow use_pallas (see MHCABlock)
+    block_fold: object = None  # None -> follow use_pallas (see MHCABlock)
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
@@ -363,6 +418,7 @@ class MHCAEncoder(nn.Module):
             MHCABlock(self.dim, num_heads=self.num_heads,
                       mlp_ratio=self.mlp_ratio, drop_path_rate=rates[i],
                       use_pallas=self.use_pallas, ffn_fold=self.ffn_fold,
+                      block_fold=self.block_fold,
                       dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.num_layers)
         ]

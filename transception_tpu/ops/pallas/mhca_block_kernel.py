@@ -52,12 +52,14 @@ from transception_tpu.ops.pallas.mixffn_kernel import _VMEM_BUDGET, _ffn_body
 def eligible_block(x_shape, C: int, heads: int, hidden: int, window,
                    dtype) -> bool:
     """Static gate: square even-side map, head-divisible C, window spec
-    covering exactly C channels with odd sizes <= 9, and VMEM fit."""
+    covering exactly C channels with odd sizes <= 9, and VMEM fit.
+    hidden need not be lane-aligned: Mosaic pads non-128-multiple minor
+    dims (the mixffn kernel's stage-2 probes ran hidden=192)."""
     B, N, C_in = x_shape
     s = int(round(N ** 0.5))
     if s * s != N or C_in != C or s % 2 != 0:
         return False
-    if C % heads or hidden % 128:
+    if C % heads:
         return False
     d = C // heads
     if sum(h for _, h in window) != heads:
@@ -206,8 +208,6 @@ def fused_mhca_block(x, cpe_k, cpe_b, ln1_s, ln1_b, qkv_k, qkv_b,
 
     scale = float(d) ** -0.5
     vec = lambda a, n: a.reshape(1, n)  # noqa: E731
-    mat2 = [
-        pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM)]
 
     def spec(shape):
         nd = len(shape)
@@ -262,5 +262,4 @@ def fused_mhca_block(x, cpe_k, cpe_b, ln1_s, ln1_b, qkv_k, qkv_b,
       w1.astype(dt), vec(b1, hidden), dw.reshape(3, 3, hidden).astype(dt),
       vec(dwb, hidden), vec(ln_s, hidden), vec(ln_b, hidden),
       w2.astype(dt), vec(b2, C))
-    _ = mat2
     return out.reshape(B, N, C)

@@ -144,6 +144,19 @@ def _fused_ln_fwd(x, lts, ltb, w1, b1, dw, dwb, ls, lb, w2, b2, s, hidden,
 
 
 def _fused_ln_bwd(s, hidden, groups, eps_ln, eps, res, g):
+    # Flash-style Pallas backward where eligible: recompute-in-VMEM per
+    # row tile, weight grads accumulated on-chip — the hidden stream
+    # never touches HBM (mixffn_kernel._bwd_kernel_ln). Ineligible
+    # shapes (odd map sides) fall back to jax.vjp of the jnp mirror,
+    # which recomputes through HBM (the r2 custom-VJP cost).
+    x = res[0]
+    if _target_platform() == "tpu":
+        from transception_tpu.ops.pallas import mixffn_kernel as mk
+        if mk.eligible_ln_bwd(x.shape, x.shape[-1], hidden, groups,
+                              x.dtype):
+            return mk.fused_mixffn_ln_skip_bwd(
+                *res, g, s=s, hidden=hidden, groups=groups,
+                eps_ln=eps_ln, eps=eps)
     _, vjp = jax.vjp(
         lambda *a: _reference_impl_ln(*a, s, hidden, groups, eps_ln, eps),
         *res)

@@ -372,3 +372,332 @@ def fused_mixffn_ln_skip(x, lts, ltb, w1, b1, dw, dwb, ln_scale, ln_bias,
       dwb.reshape(1, hidden), ln_scale.reshape(1, hidden),
       ln_bias.reshape(1, hidden), w2.astype(x.dtype), b2.reshape(1, C))
     return out.reshape(B, N, C)
+
+
+# ---- Flash-style Pallas BACKWARD for the LN+residual-folded variant ----
+#
+# The r2 custom-VJP backwards (jax.vjp of the jnp reference) lose to XLA's
+# joint fwd+bwd because they recompute the 4x hidden stream THROUGH HBM.
+# This kernel is the flash pattern the bridge-attention backward proved
+# (bridge_attention_kernel._bwd_kernel): recompute the forward
+# intermediates per row-tile in VMEM from the resident C-wide x, emit the
+# C-wide dx tile, and accumulate every weight gradient in fp32 VMEM
+# across the sequential (B, n_tiles) grid — HBM sees x and g once each
+# and dx once; the hidden-width stream never leaves the chip.
+
+_VMEM_BUDGET_BWD = 12 * 1024 * 1024
+_GELU_C = 0.3989422804014327  # 1/sqrt(2*pi)
+
+
+def _pick_rows_bwd(s: int, C: int, hidden: int, itemsize: int) -> int:
+    """Backward row tile: the window needs a TWO-row halo (dx at row r
+    needs dd at r±1, which needs y/h at r±2), so W = rows + 4 clamped to
+    the map; ~6 (W, s, hidden) fp32 temporaries live at once plus the two
+    padded conv scratches. Even s only (the weight-grad dots collapse
+    (W, s, ·) -> (W·s, ·), the shape cast Mosaic rejects at odd s)."""
+    if s % 2:
+        return 0
+    for rows in (28, 14, 8, 4, 2):
+        if rows >= s or s % rows:
+            continue
+        if (rows * s) % 8:
+            continue
+        W = rows + 4
+        need = (2 * (W + 2) * (s + 2) * hidden * 4
+                + 6 * W * s * hidden * 4 + 2 * W * s * C * 4
+                + (C + 8) * hidden * itemsize * 2)
+        if need <= _VMEM_BUDGET_BWD:
+            return rows
+    need = (2 * (s + 2) * (s + 2) * hidden * 4
+            + 6 * s * s * hidden * 4 + 2 * s * s * C * 4)
+    if need <= _VMEM_BUDGET_BWD:
+        return s
+    return 0
+
+
+def eligible_ln_bwd(x_shape, C: int, hidden: int, groups: int,
+                    dtype) -> bool:
+    if groups < 1 or C % groups:
+        return False
+    B, N, C_in = x_shape
+    s = int(round(N ** 0.5))
+    if s * s != N or C_in != C:
+        return False
+    return _pick_rows_bwd(s, C, hidden, jnp.dtype(dtype).itemsize) > 0
+
+
+def _erf(z):
+    """Abramowitz-Stegun 7.1.26 rational erf (no Mosaic erf lowering);
+    max abs error 1.5e-7 (same approximation as the forward's GELU)."""
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+
+
+def _bwd_kernel_ln(x_ref, g_ref, sel_ref, selt_ref, lts_ref, ltb_ref,
+                   w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
+                   w2_ref,
+                   dx_ref, dlts_ref, dltb_ref, dw1_ref, db1_ref, ddw_ref,
+                   ddwb_ref, dls_ref, dlb_ref, dw2_ref, db2_ref,
+                   hp_ref, dp_ref, *, s: int, rows: int, hidden: int,
+                   groups: int, eps_ln: float, eps: float):
+    """One (batch row, row-tile) backward step of
+    out = x + mixffn(groupLN(x)). See module comment; gradient chain
+    mirrors jax.vjp of mixffn._reference_impl_ln (fp32 everywhere, the
+    dtype casts are pass-through)."""
+    f32 = jnp.float32
+    dt = dx_ref.dtype
+    j = pl.program_id(1)
+    if rows == s:                                      # whole-map mode
+        W = s
+        r0 = off = 0
+        start = 0
+    else:
+        W = rows + 4
+        r0 = j * rows
+        start = jnp.clip(r0 - 2, 0, s - W)
+        off = r0 - start
+
+    xw = x_ref[0, pl.ds(start, W)]                     # (W, s, C) dt
+    gw = g_ref[0, pl.ds(start, W)]
+    xf = xw.astype(f32)
+    gf = gw.astype(f32)
+    C = xf.shape[-1]
+    gz = float(C // groups)
+
+    def dot3(a, b):                                    # (.., k)·(k, m)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    # ---- forward recompute: groupLN (selector-dot stats) ----
+    sel = sel_ref[...]
+    selt = selt_ref[...]
+    mu = dot3(xf, sel) / gz                            # (W, s, G)
+    inv_x = jax.lax.rsqrt(dot3(xf * xf, sel) / gz - mu * mu + eps_ln)
+    yhx = (xf - dot3(mu, selt)) * dot3(inv_x, selt)    # (W, s, C)
+    lts = lts_ref[...].astype(f32)
+    xn = (yhx * lts + ltb_ref[...].astype(f32)).astype(dt)
+
+    # ---- fc1 + dwconv + skip + LN + gelu over the full window ----
+    h = dot3(xn, w1_ref[...]) + b1_ref[...].astype(f32)
+    h = h.astype(dt).astype(f32)                       # Dense rounding
+    hp_ref[...] = jnp.pad(h, ((1, 1), (1, 1), (0, 0)))
+    dwk = dw_ref[...].astype(f32)                      # (3, 3, hidden)
+    acc = jnp.zeros((W, s, hidden), f32)
+    q = hp_ref[...]
+    for dj in range(3):
+        csh = jax.lax.slice_in_dim(q, dj, dj + s, axis=1)
+        for di in range(3):
+            sl = jax.lax.slice_in_dim(csh, di, di + W, axis=0)
+            acc = acc + sl * dwk[di, dj][None, None, :]
+    d = (acc + dwb_ref[...].astype(f32)).astype(dt).astype(f32)
+    y = d + h                                          # (W, s, hidden)
+    muy = jnp.mean(y, axis=-1, keepdims=True)
+    invy = jax.lax.rsqrt(
+        jnp.mean(y * y, axis=-1, keepdims=True) - muy * muy + eps)
+    yh = (y - muy) * invy
+    ls = ls_ref[...].astype(f32)
+    zf = (yh * ls + lb_ref[...].astype(f32)).astype(dt).astype(f32)
+    erf_z = _erf(zf * (2.0 ** -0.5))
+    half1e = 0.5 * (1.0 + erf_z)
+    a = (zf * half1e).astype(dt)                       # gelu out, rounded
+    gp = half1e + zf * jnp.exp(-0.5 * zf * zf) * _GELU_C
+
+    # ---- backward through fc2 / gelu / LN ----
+    da = jax.lax.dot_general(                          # g · w2ᵀ, no
+        gw, w2_ref[...],                               # in-VMEM transpose
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=f32)                    # (W, s, hidden)
+    dz = da * gp
+    dyh = dz * ls
+    m1 = jnp.mean(dyh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyh * yh, axis=-1, keepdims=True)
+    dy = invy * (dyh - m1 - yh * m2)                   # = dd (cot. of d)
+    dp_ref[...] = jnp.pad(dy, ((1, 1), (1, 1), (0, 0)))
+
+    # ---- conv input grad for the CENTER rows (transpose = correlation
+    # with the un-flipped kernel over the 1-padded dd) + the skip path ----
+    dhc = jnp.zeros((rows, s, hidden), f32)
+    for di in range(3):
+        rw = dp_ref[pl.ds(off + 2 - di, rows)]         # (rows, s+2, h)
+        for dj in range(3):
+            sl = jax.lax.slice_in_dim(rw, 2 - dj, 2 - dj + s, axis=1)
+            dhc = dhc + sl * dwk[di, dj][None, None, :]
+    dy_c = jax.lax.slice_in_dim(
+        dp_ref[pl.ds(off + 1, rows)], 1, 1 + s, axis=1)
+    dh = dy_c + dhc                                    # (rows, s, hidden)
+
+    # ---- fc1 input grad -> groupLN backward -> dx tile ----
+    dxn = jax.lax.dot_general(                         # (rows, s, C)
+        dh, w1_ref[...].astype(f32),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    xcf = x_ref[0, pl.ds(r0, rows)].astype(f32)        # center re-read
+    mu_c = dot3(xcf, sel) / gz
+    inv_c = jax.lax.rsqrt(dot3(xcf * xcf, sel) / gz - mu_c * mu_c + eps_ln)
+    inv_cb = dot3(inv_c, selt)
+    yhx_c = (xcf - dot3(mu_c, selt)) * inv_cb
+    dyhx = dxn * lts
+    n1 = dot3(dot3(dyhx, sel) / gz, selt)
+    n2 = dot3(dot3(dyhx * yhx_c, sel) / gz, selt)
+    dx_ln = inv_cb * (dyhx - n1 - yhx_c * n2)
+    gc = g_ref[0, pl.ds(r0, rows)].astype(f32)
+    dx_ref[0] = (dx_ln + gc).astype(dt)                # + residual path
+
+    # ---- weight grads: center-masked window reductions, fp32 VMEM
+    # accumulation across the sequential (B, n_tiles) grid ----
+    wi = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 1), 0)
+    mc = ((wi >= off) & (wi < off + rows)).astype(f32)
+    gm = gf * mc
+    a2 = (a.astype(f32) * mc).reshape(W * s, hidden)
+    g2 = gm.reshape(W * s, C)
+    v_dw2 = jax.lax.dot_general(
+        a2, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)                    # (hidden, C)
+    v_db2 = jnp.sum(gm, axis=(0, 1)).reshape(1, C)
+    v_dls = jnp.sum(dz * yh * mc, axis=(0, 1)).reshape(1, hidden)
+    v_dlb = jnp.sum(dz * mc, axis=(0, 1)).reshape(1, hidden)
+    v_ddwb = jnp.sum(dy * mc, axis=(0, 1)).reshape(1, hidden)
+    xn_c = (yhx_c * lts + ltb_ref[...].astype(f32)).astype(dt)
+    v_dw1 = jax.lax.dot_general(
+        xn_c.astype(f32).reshape(rows * s, C),
+        dh.reshape(rows * s, hidden),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)                    # (C, hidden)
+    v_db1 = jnp.sum(dh, axis=(0, 1)).reshape(1, hidden)
+    v_dlts = jnp.sum(dxn * yhx_c, axis=(0, 1)).reshape(1, C)
+    v_dltb = jnp.sum(dxn, axis=(0, 1)).reshape(1, C)
+
+    first = (pl.program_id(0) == 0) & (j == 0)
+
+    @pl.when(first)
+    def _init():
+        dw2_ref[...] = v_dw2
+        db2_ref[...] = v_db2
+        dls_ref[...] = v_dls
+        dlb_ref[...] = v_dlb
+        ddwb_ref[...] = v_ddwb
+        dw1_ref[...] = v_dw1
+        db1_ref[...] = v_db1
+        dlts_ref[...] = v_dlts
+        dltb_ref[...] = v_dltb
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        dw2_ref[...] += v_dw2
+        db2_ref[...] += v_db2
+        dls_ref[...] += v_dls
+        dlb_ref[...] += v_dlb
+        ddwb_ref[...] += v_ddwb
+        dw1_ref[...] += v_dw1
+        db1_ref[...] += v_db1
+        dlts_ref[...] += v_dlts
+        dltb_ref[...] += v_dltb
+
+    # ddw taps: dd(center) x the matching h window (hp_ref[p] = h(p-1)).
+    for di in range(3):
+        hw = hp_ref[pl.ds(off + di, rows)]             # (rows, s+2, h)
+        for dj in range(3):
+            sl = jax.lax.slice_in_dim(hw, dj, dj + s, axis=1)
+            tap = jnp.sum(dy_c * sl, axis=(0, 1))
+
+            @pl.when(first)
+            def _i(di=di, dj=dj, tap=tap):
+                ddw_ref[di, dj] = tap
+
+            @pl.when(jnp.logical_not(first))
+            def _a(di=di, dj=dj, tap=tap):
+                ddw_ref[di, dj] += tap
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "hidden", "groups", "eps_ln", "eps",
+                              "interpret"))
+def fused_mixffn_ln_skip_bwd(x, lts, ltb, w1, b1, dw, dwb, ln_scale,
+                             ln_bias, w2, b2, g, *, s: int, hidden: int,
+                             groups: int, eps_ln: float = 1e-5,
+                             eps: float = 1e-5, interpret: bool = False):
+    """Backward of fused_mixffn_ln_skip given cotangent g of the output.
+
+    Returns grads in primal order (x, lts, ltb, w1, b1, dw, dwb,
+    ln_scale, ln_bias, w2, b2); weight grads fp32, dx in x.dtype. b2's
+    value is never needed (its grad is the column-sum of g)."""
+    B, N, C = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    rows = _pick_rows_bwd(s, C, hidden, itemsize)
+    if rows == 0 or C % groups:
+        raise NotImplementedError("no backward row tiling fits")
+    f32 = jnp.float32
+    gsz = C // groups
+    gid = jnp.arange(C, dtype=jnp.int32) // gsz
+    sel = (gid[:, None] == jnp.arange(groups)[None, :]).astype(f32)
+    W = rows + (0 if rows == s else 4)
+
+    grid = (B, s // rows)
+    const2 = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_ln, s=s, rows=rows, hidden=hidden,
+                          groups=groups, eps_ln=eps_ln, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, s, s, C), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s, C), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const2((C, groups)), const2((groups, C)),
+            const2((1, C)), const2((1, C)),
+            const2((C, hidden)), const2((1, hidden)),
+            const2((3, 3, hidden)), const2((1, hidden)),
+            const2((1, hidden)), const2((1, hidden)),
+            const2((hidden, C)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, s, C), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const2((1, C)), const2((1, C)),
+            const2((C, hidden)), const2((1, hidden)),
+            const2((3, 3, hidden)), const2((1, hidden)),
+            const2((1, hidden)), const2((1, hidden)),
+            const2((hidden, C)), const2((1, C)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, s, s, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((C, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((3, 3, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((hidden, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W + 2, s + 2, hidden), f32),
+            pltpu.VMEM((W + 2, s + 2, hidden), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * hidden * 6 + B * N * hidden * 9 * 4,
+            bytes_accessed=3 * B * N * C * itemsize,
+            transcendentals=2 * B * N * hidden,
+        ),
+        interpret=interpret,
+    )(x.reshape(B, s, s, C), g.reshape(B, s, s, C), sel, sel.T,
+      # Biases / LN params stay fp32 (the forward adds them in fp32);
+      # only the matmul/conv weights round to the compute dtype.
+      lts.reshape(1, C), ltb.reshape(1, C),
+      w1.astype(x.dtype), b1.reshape(1, hidden),
+      dw.reshape(3, 3, hidden).astype(x.dtype),
+      dwb.reshape(1, hidden), ln_scale.reshape(1, hidden),
+      ln_bias.reshape(1, hidden), w2.astype(x.dtype))
+    (dx, dlts, dltb, dw1, db1, ddw, ddwb, dls, dlb, dw2, db2) = outs
+    shp = lambda a, p: a.reshape(p.shape).astype(p.dtype)  # noqa: E731
+    return (dx.reshape(B, N, C), shp(dlts, lts), shp(dltb, ltb),
+            shp(dw1, w1), shp(db1, b1), shp(ddw, dw), shp(ddwb, dwb),
+            shp(dls, ln_scale), shp(dlb, ln_bias), shp(dw2, w2),
+            shp(db2, b2))

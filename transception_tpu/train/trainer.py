@@ -95,17 +95,23 @@ def train_step_model(model):
 
     Eval keeps every kernel; the train step turns them off
     (`use_pallas_train`: their custom-VJP backwards lose to XLA's fused
-    fwd+bwd) EXCEPT the bridge attention, which has a real flash-style
-    Pallas backward — and even there the eval-only folds (attn fold, FFN
-    fold) stay off so the flash backward sees the plain kernel."""
+    fwd+bwd) EXCEPT (a) the bridge attention, which has a real
+    flash-style Pallas backward, and (b) with `ffn_flash_train`, the
+    fused MixFFN_skip folds (ETB + MHCA + bridge per-scale), whose
+    backward is the flash kernel mixffn_kernel._bwd_kernel_ln. The
+    eval-only attn folds stay off so the flash backwards see the plain
+    kernels."""
     import dataclasses as _dc
 
     from transception_tpu.models.transception import MSTransception
     if isinstance(model, MSTransception) and model.cfg.use_pallas \
             and not model.cfg.use_pallas_train:
-        return MSTransception(_dc.replace(
-            model.cfg, use_pallas=False, bridge_use_pallas=True,
-            bridge_ffn_use_pallas=False, bridge_attn_fold=False))
+        over = dict(use_pallas=False, bridge_use_pallas=True,
+                    bridge_ffn_use_pallas=False, bridge_attn_fold=False)
+        if model.cfg.ffn_flash_train:
+            over.update(bridge_ffn_use_pallas=True, etb_ffn_fold=True,
+                        mhca_ffn_fold=True)
+        return MSTransception(_dc.replace(model.cfg, **over))
     return model
 
 
