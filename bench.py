@@ -200,6 +200,10 @@ def main():
         xt = jnp.zeros((tb, 224, 224, 1), jnp.float32)
         yt = jnp.zeros((tb, 224, 224), jnp.int32)
         from transception_tpu.train.trainer import train_step_model
+        # Single-chip bench: Trainer's 1x1-mesh gating — XLA native conv
+        # grads (parallel/mesh.py:needs_safe_dwconv_grad).
+        from transception_tpu.ops.common import set_safe_dwconv_kernel_grad
+        set_safe_dwconv_kernel_grad(False)
         train_model = train_step_model(model)
         tstate = create_train_state(train_model, tcfg, 92, xt,
                                     jax.random.PRNGKey(0))

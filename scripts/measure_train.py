@@ -28,10 +28,14 @@ def main():
 
     from transception_tpu.core.config import TrainConfig, TransceptionConfig
     from transception_tpu.models.transception import MSTransception
+    from transception_tpu.ops.common import set_safe_dwconv_kernel_grad
     from transception_tpu.train.state import create_train_state
     from transception_tpu.train.trainer import make_train_step, train_step_model
     from transception_tpu.utils.profiling import device_time_per_call
 
+    # Single-chip measurement: mirror Trainer's mesh gating (a 1x1 mesh
+    # takes XLA's native conv grads — parallel/mesh.py:needs_safe_dwconv_grad).
+    set_safe_dwconv_kernel_grad(False)
     cfg = TransceptionConfig(ffn_flash_train=flash)
     # The trainer's exact train-step kernel gating (single source of truth).
     model = train_step_model(MSTransception(cfg))

@@ -119,3 +119,41 @@ def test_depthwise_conv_matches_nn_conv_forward_and_grads():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-6, atol=1e-5,
                                        err_msg=jax.tree_util.keystr(pa))
+
+
+def test_dwconv_grad_gating_fast_path_matches_safe_path():
+    """The single-chip fast path (set_safe_dwconv_kernel_grad(False) ->
+    XLA native conv grads) computes the same gradients as the GSPMD-safe
+    VJP up to fp rounding, and the switch restores cleanly."""
+    from transception_tpu.ops.common import (
+        depthwise_conv_op,
+        set_safe_dwconv_kernel_grad,
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 9, 9, 8)), jnp.float32)
+    k = jnp.asarray(rng.random((3, 3, 1, 8)) - 0.5, jnp.float32)
+
+    def loss(x, k):
+        return jnp.sum(depthwise_conv_op(x, k, (1, 1), ((1, 1), (1, 1))) ** 2)
+
+    try:
+        set_safe_dwconv_kernel_grad(True)
+        gx1, gk1 = jax.grad(loss, argnums=(0, 1))(x, k)
+        set_safe_dwconv_kernel_grad(False)
+        gx2, gk2 = jax.grad(loss, argnums=(0, 1))(x, k)
+    finally:
+        set_safe_dwconv_kernel_grad(True)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                               rtol=2e-6, atol=1e-4)
+
+
+def test_trainer_mesh_gating_helper():
+    """needs_safe_dwconv_grad: multi-axis meshes -> True, 1-axis -> False."""
+    from transception_tpu.parallel.mesh import make_mesh, needs_safe_dwconv_grad
+    devs = jax.devices("cpu")
+    if len(devs) >= 4:
+        assert needs_safe_dwconv_grad(make_mesh(2, 2, devices=devs[:4]))
+        assert not needs_safe_dwconv_grad(make_mesh(4, 1, devices=devs[:4]))
+    assert not needs_safe_dwconv_grad(make_mesh(1, 1, devices=devs[:1]))

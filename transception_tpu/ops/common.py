@@ -57,6 +57,27 @@ def _depthwise_conv_raw(x, k, stride, padding):
         feature_group_count=x.shape[-1])
 
 
+# The safe kernel-grad VJP below exists for MULTI-AXIS meshes only (the
+# jax 0.9 GSPMD bug it works around needs batch sharded on one axis of a
+# >=2-axis mesh to bite). It costs ~6 ms on the single-chip bs-24 train
+# step (89.5 vs 83.5 ms measured r5) because XLA's fused conv-grad beats
+# the explicit shifted multiply-reduces, so the trainer/bench gate it to
+# the meshes that need it. Default True: silent x2 kernel grads are worse
+# than 7% step time for any caller that never sets the switch.
+_SAFE_DWCONV_KERNEL_GRAD = True
+
+
+def set_safe_dwconv_kernel_grad(on: bool) -> None:
+    """Select the depthwise kernel-grad VJP at trace time. True = the
+    GSPMD-safe explicit-reduction backward (required when training over a
+    mesh with >=2 nontrivial axes, e.g. dp x tp — see depthwise_conv_op);
+    False = XLA's native conv grads (faster; correct on single device or
+    a single-axis mesh). parallel/mesh.py:needs_safe_dwconv_grad maps a
+    mesh to the right setting."""
+    global _SAFE_DWCONV_KERNEL_GRAD
+    _SAFE_DWCONV_KERNEL_GRAD = bool(on)
+
+
 def depthwise_conv_op(x, k, stride, padding):
     """Depthwise conv with a GSPMD-safe kernel-gradient VJP.
 
@@ -76,6 +97,9 @@ def depthwise_conv_op(x, k, stride, padding):
     correctly. fp32 accumulation, rounded to the kernel dtype like the
     conv-grad conv would.
     """
+    if not _SAFE_DWCONV_KERNEL_GRAD:
+        return _depthwise_conv_raw(x, k, tuple(stride),
+                                   tuple(map(tuple, padding)))
     return _depthwise_conv_impl(x, k, tuple(stride),
                                 tuple(map(tuple, padding)))
 

@@ -46,7 +46,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from transception_tpu.ops.pallas.mixffn_kernel import _VMEM_BUDGET, _ffn_body
+from transception_tpu.ops.pallas.mixffn_kernel import (
+    _VMEM_BUDGET,
+    _ffn_body,
+    _seg_mean,
+)
 
 
 def eligible_block(x_shape, C: int, heads: int, hidden: int, window,
@@ -67,8 +71,12 @@ def eligible_block(x_shape, C: int, heads: int, hidden: int, window,
     if any(w % 2 == 0 or w > 9 for w, _ in window):
         return False
     wmax = max(w for w, _ in window)
+    return _vmem_need(s, C, hidden, wmax, dtype) <= _VMEM_BUDGET
+
+
+def _vmem_need(s: int, C: int, hidden: int, wmax: int, dtype) -> int:
     itemsize = jnp.dtype(dtype).itemsize
-    need = (
+    return (
         (s + 2) * (s + 2) * C * 4           # CPE pad scratch
         + (s + wmax - 1) * (s + wmax - 1) * C * 4   # CRPE pad scratch
         + (s + 2) * (s + 2) * hidden * 4    # FFN pad scratch
@@ -76,7 +84,6 @@ def eligible_block(x_shape, C: int, heads: int, hidden: int, window,
         + s * s * hidden * 4                # FFN hidden tile
         + C * (3 * C + 2 * C + 2 * hidden) * itemsize  # weight matrices
     )
-    return need <= _VMEM_BUDGET
 
 
 def _dwconv_pad(xm, pad_ref, w_ref, b_ref, *, s: int, k: int, f32=jnp.float32):
@@ -98,10 +105,11 @@ def _dwconv_pad(xm, pad_ref, w_ref, b_ref, *, s: int, k: int, f32=jnp.float32):
     return acc + b_ref[...].astype(f32)
 
 
-def _ln(xf, s_ref, b_ref, eps: float):
-    """fp32 LayerNorm over the minor axis (flax var = E[x^2] - E[x]^2)."""
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+def _ln(xf, s_ref, b_ref, eps: float, seg: int = 1):
+    """fp32 LayerNorm over the minor axis (flax var = E[x^2] - E[x]^2);
+    seg > 1 normalizes each lane segment independently (packed rows)."""
+    mean = _seg_mean(xf, seg)
+    var = _seg_mean(xf * xf, seg) - mean * mean
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
 
@@ -111,19 +119,24 @@ def _kernel(x_ref, cpek_ref, cpeb_ref, l1s_ref, l1b_ref, wq_ref, bq_ref,
             wp_ref, bp_ref, l2s_ref, l2b_ref, w1_ref, b1_ref, dw_ref,
             dwb_ref, lns_ref, lnb_ref, w2_ref, b2_ref, o_ref,
             pad3_ref, padw_ref, padh_ref, *, s: int, C: int, hidden: int,
-            wmax: int, scale: float):
+            wmax: int, scale: float, strip: frozenset = frozenset(),
+            seg: int = 1):
     dt = o_ref.dtype
     f32 = jnp.float32
     N = s * s
     x = x_ref[0]                                       # (s, s, C) dt
 
     # --- CPE: 3x3 depthwise + residual (ConvPosEnc) ---
-    y = _dwconv_pad(x.astype(f32), pad3_ref, cpek_ref, cpeb_ref, s=s, k=3)
-    x1 = y.astype(dt) + x                              # conv rounds, add dt
+    if "cpe" in strip:                                 # attribution probes
+        x1 = x
+    else:
+        y = _dwconv_pad(x.astype(f32), pad3_ref, cpek_ref, cpeb_ref,
+                        s=s, k=3)
+        x1 = y.astype(dt) + x                          # conv rounds, add dt
     x1t = x1.reshape(N, C)
 
     # --- LN1 (eps from caller's norm1; flax returns fp32 -> dt) ---
-    cur = _ln(x1t.astype(f32), l1s_ref, l1b_ref, 1e-6).astype(dt)
+    cur = _ln(x1t.astype(f32), l1s_ref, l1b_ref, 1e-6, seg).astype(dt)
 
     # --- QKV (three column slices of the fused qkv Dense) ---
     def dense(t, w_ref, b_ref):
@@ -132,68 +145,90 @@ def _kernel(x_ref, cpek_ref, cpeb_ref, l1s_ref, l1b_ref, wq_ref, bq_ref,
             preferred_element_type=f32)
         return o.astype(dt) + b_ref[...].astype(dt)
 
-    q = dense(cur, wq_ref, bq_ref)                     # (N, C) dt
-    k = dense(cur, wk_ref, bk_ref)
-    v = dense(cur, wv_ref, bv_ref)
+    if "attn" in strip:
+        x2 = x1t
+    else:
+        q = dense(cur, wq_ref, bq_ref)                 # (N, C) dt
+        k = dense(cur, wk_ref, bk_ref)
+        v = dense(cur, wv_ref, bv_ref)
 
-    # --- softmax(K) over tokens, per column (fp32) ---
-    kf = k.astype(f32)
-    kmax = jnp.max(kf, axis=0, keepdims=True)
-    ke = jnp.exp(kf - kmax)
-    ks = (ke / jnp.sum(ke, axis=0, keepdims=True)).astype(dt)
+        # --- softmax(K) over tokens, per column (fp32) ---
+        kf = k.astype(f32)
+        kmax = jnp.max(kf, axis=0, keepdims=True)
+        ke = jnp.exp(kf - kmax)
+        ks = (ke / jnp.sum(ke, axis=0, keepdims=True)).astype(dt)
 
-    # --- factorized attention via block-diagonal-masked Gram ---
-    gram = jax.lax.dot_general(                        # (C, C) fp32
-        ks, v, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32)
-    gm = gram.astype(dt) * mask_ref[...]               # zero off-head blocks
-    att = jax.lax.dot_general(
-        q, gm, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32)
-    att = (scale * att).astype(dt)                     # (N, C)
+        # --- factorized attention via block-diagonal-masked Gram ---
+        gram = jax.lax.dot_general(                    # (C, C) fp32
+            ks, v, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        gm = gram.astype(dt) * mask_ref[...]           # zero off-head blocks
+        att = jax.lax.dot_general(
+            q, gm, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        att = (scale * att).astype(dt)                 # (N, C)
 
-    # --- CRPE: unified wmax x wmax depthwise over V, Hadamard with Q ---
-    conv_v = _dwconv_pad(v.reshape(s, s, C).astype(f32), padw_ref,
-                         crpek_ref, crpeb_ref, s=s, k=wmax)
-    crpe = q.reshape(s, s, C) * conv_v.astype(dt)
-    att = att + crpe.reshape(N, C)
+        # --- CRPE: unified wmax x wmax depthwise over V, Hadamard w/ Q ---
+        if "crpe" not in strip:
+            conv_v = _dwconv_pad(v.reshape(s, s, C).astype(f32), padw_ref,
+                                 crpek_ref, crpeb_ref, s=s, k=wmax)
+            crpe = q.reshape(s, s, C) * conv_v.astype(dt)
+            att = att + crpe.reshape(N, C)
 
-    # --- projection + residual ---
-    o = dense(att, wp_ref, bp_ref)
-    x2 = x1t + o                                       # (N, C) dt
+        # --- projection + residual ---
+        o = dense(att, wp_ref, bp_ref)
+        x2 = x1t + o                                   # (N, C) dt
 
     # --- LN2 + MixFFN_skip (whole-map _ffn_body) + residual ---
-    xw = _ln(x2.astype(f32), l2s_ref, l2b_ref, 1e-6).astype(dt)
+    if "ffn" in strip:
+        o_ref[0] = x2.reshape(s, s, C)
+        return
+    xw = _ln(x2.astype(f32), l2s_ref, l2b_ref, 1e-6, seg).astype(dt)
     ffn = _ffn_body(xw.reshape(s, s, C), w1_ref, b1_ref, dw_ref, dwb_ref,
                     lns_ref, lnb_ref, w2_ref, b2_ref, padh_ref,
-                    s=s, rows=s, hidden=hidden, eps=1e-5, off=0, dt=dt)
+                    s=s, rows=s, hidden=hidden, eps=1e-5, off=0, dt=dt, seg=seg)
     out = (ffn.astype(dt).astype(f32)
            + x2.reshape(s, s, C).astype(f32)).astype(dt)
     o_ref[0] = out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s", "heads", "hidden", "window", "interpret"))
+    jax.jit, static_argnames=("s", "heads", "hidden", "window", "interpret",
+                              "strip", "pack"))
 def fused_mhca_block(x, cpe_k, cpe_b, ln1_s, ln1_b, qkv_k, qkv_b,
                      crpe_ks, crpe_bs, proj_k, proj_b, ln2_s, ln2_b,
                      w1, b1, dw, dwb, ln_s, ln_b, w2, b2, *,
                      s: int, heads: int, hidden: int,
-                     window=((3, 2), (5, 3), (7, 3)), interpret=False):
+                     window=((3, 2), (5, 3), (7, 3)), interpret=False,
+                     strip: frozenset = frozenset(), pack=None):
     """One MHCABlock forward. x: (B, s², C). qkv_k: (C, 3C) fused Dense
     kernel; crpe_ks/crpe_bs: tuples of per-window (w, w, 1, chs)/(chs,)
     params in channel order (head-major — matches ConvRelPosEnc).
-    Returns (B, s², C)."""
+    Returns (B, s², C).
+
+    pack=2 (chosen automatically when C half-fills the 128 lanes, B is
+    even, and packed VMEM fits) runs TWO batch rows side-by-side in the
+    lane dim: x becomes (B/2, N, 2C) with rows b and b+B/2 concatenated
+    channel-wise, dense kernels become block-diagonal, per-channel
+    weights duplicate, and LayerNorm stats go per-segment (_seg_mean).
+    The head-block Gram mask stays the same formula (head blocks of d on
+    the 2C diagonal — cross-row products land off-diagonal and are
+    masked). All matmul extensions are exact (fp32 accumulation of
+    structural zeros), so packed and unpacked kernels differ only by LN
+    reduction order. Measured r5: the stage-2 geometry (s=28, C=64) is
+    VPU-latency-bound with half the lanes idle; packing ~halves it."""
     B, N, C = x.shape
     dt = x.dtype
     d = C // heads
     wmax = max(w for w, _ in window)
 
+    if pack is None:
+        pack = 2 if (2 * C <= 128 and B % 2 == 0 and _vmem_need(
+            s, 2 * C, 2 * hidden, wmax, dt) <= _VMEM_BUDGET) else 1
+
     # Host-side weight prep (traced jnp ops on small params).
     wq, wk, wv = (qkv_k[:, :C], qkv_k[:, C:2 * C], qkv_k[:, 2 * C:])
     bq, bk, bv = (qkv_b[:C], qkv_b[C:2 * C], qkv_b[2 * C:])
-    # Block-diagonal head mask (C, C).
-    hid = jnp.arange(C, dtype=jnp.int32) // d
-    mask = (hid[:, None] == hid[None, :]).astype(dt)
     # Unified CRPE weights: zero-pad each window's (w, w, chs) into the
     # center of (wmax, wmax, chs); concat channels head-major.
     segs, bsegs = [], []
@@ -205,6 +240,34 @@ def fused_mhca_block(x, cpe_k, cpe_b, ln1_s, ln1_b, qkv_k, qkv_b,
         bsegs.append(bias)
     crpe_k = jnp.concatenate(segs, axis=-1)            # (wmax, wmax, C)
     crpe_b = jnp.concatenate(bsegs, axis=-1)
+    cpe_k = cpe_k.reshape(3, 3, C)
+    dw = dw.reshape(3, 3, hidden)
+
+    B_out, C_out = B, C
+    if pack == 2:
+        def dup(a):                                    # (..., n) -> (..., 2n)
+            return jnp.concatenate([a, a], axis=-1)
+
+        def bdiag(wm):                                 # (a, b) -> (2a, 2b)
+            z = jnp.zeros_like(wm)
+            return jnp.concatenate(
+                [jnp.concatenate([wm, z], 1), jnp.concatenate([z, wm], 1)],
+                0)
+
+        x = jnp.concatenate([x[:B // 2], x[B // 2:]], axis=-1)
+        wq, wk, wv, proj_k = map(bdiag, (wq, wk, wv, proj_k))
+        w1, w2 = bdiag(w1), bdiag(w2)
+        (bq, bk, bv, proj_b, ln1_s, ln1_b, ln2_s, ln2_b, cpe_b, cpe_k,
+         crpe_k, crpe_b, b2) = map(
+            dup, (bq, bk, bv, proj_b, ln1_s, ln1_b, ln2_s, ln2_b, cpe_b,
+                  cpe_k, crpe_k, crpe_b, b2))
+        b1, dw, dwb, ln_s, ln_b = map(dup, (b1, dw, dwb, ln_s, ln_b))
+        B, C, hidden = B // 2, 2 * C, 2 * hidden
+
+    # Block-diagonal head mask (C, C); with pack=2 the same blocks-of-d
+    # diagonal also zeroes every cross-row product (|i-j| >= C/2 > d).
+    hid = jnp.arange(C, dtype=jnp.int32) // d
+    mask = (hid[:, None] == hid[None, :]).astype(dt)
 
     scale = float(d) ** -0.5
     vec = lambda a, n: a.reshape(1, n)  # noqa: E731
@@ -216,7 +279,7 @@ def fused_mhca_block(x, cpe_k, cpe_b, ln1_s, ln1_b, qkv_k, qkv_b,
 
     out = pl.pallas_call(
         functools.partial(_kernel, s=s, C=C, hidden=hidden, wmax=wmax,
-                          scale=scale),
+                          scale=scale, strip=strip, seg=pack),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, s, s, C), lambda i: (i, 0, 0, 0),
@@ -252,14 +315,17 @@ def fused_mhca_block(x, cpe_k, cpe_b, ln1_s, ln1_b, qkv_k, qkv_b,
         ),
         interpret=interpret,
     )(x.reshape(B, s, s, C),
-      cpe_k.reshape(3, 3, C).astype(dt), vec(cpe_b, C),
+      cpe_k.astype(dt), vec(cpe_b, C),
       vec(ln1_s, C), vec(ln1_b, C),
       wq.astype(dt), vec(bq, C), wk.astype(dt), vec(bk, C),
       wv.astype(dt), vec(bv, C), mask,
       crpe_k.astype(dt), vec(crpe_b, C),
       proj_k.astype(dt), vec(proj_b, C),
       vec(ln2_s, C), vec(ln2_b, C),
-      w1.astype(dt), vec(b1, hidden), dw.reshape(3, 3, hidden).astype(dt),
+      w1.astype(dt), vec(b1, hidden), dw.astype(dt),
       vec(dwb, hidden), vec(ln_s, hidden), vec(ln_b, hidden),
       w2.astype(dt), vec(b2, C))
-    return out.reshape(B, N, C)
+    out = out.reshape(B, N, C)
+    if pack == 2:
+        out = jnp.concatenate([out[..., :C_out], out[..., C_out:]], axis=0)
+    return out.reshape(B_out, N, C_out)

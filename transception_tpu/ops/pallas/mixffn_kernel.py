@@ -88,9 +88,32 @@ def eligible_ln(x_shape, C: int, hidden: int, groups: int, dtype) -> bool:
     return eligible(x_shape, C, hidden, dtype)
 
 
+def _seg_mean(xf, seg: int):
+    """Per-segment mean over the minor axis, broadcast back to xf's shape.
+
+    seg == 1 is the plain mean. seg == 2 (the lane-packed kernel: two
+    batch rows side-by-side in the lane dim) uses the sum/difference
+    trick: S = sum over all lanes, D = signed sum (+1 first half, -1
+    second), so seg1 = (S+D)/2 and seg2 = (S-D)/2 — two full-lane VPU
+    reductions and a lane-indexed select, with no (C, C) selector-matmul
+    operands."""
+    if seg == 1:
+        return jnp.mean(xf, axis=-1, keepdims=True)
+    width = xf.shape[-1]
+    half = width // 2
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * (xf.ndim - 1) + (width,), xf.ndim - 1)
+    sgn = jnp.where(lane < half, 1.0, -1.0)
+    s_all = jnp.sum(xf, axis=-1, keepdims=True)
+    d_all = jnp.sum(xf * sgn, axis=-1, keepdims=True)
+    m1 = (s_all + d_all) / (2.0 * half)
+    m2 = (s_all - d_all) / (2.0 * half)
+    return jnp.where(lane < half, m1, m2)
+
+
 def _ffn_body(xw, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
               w2_ref, b2_ref, hp_ref, *, s: int, rows: int, hidden: int,
-              eps: float, off, dt):
+              eps: float, off, dt, seg: int = 1):
     """fc1 -> dwconv+skip -> LN -> GELU -> fc2 on one compute-dtype halo
     window xw (R, s, C); returns the fp32 (rows, s, C_out) tile (shared by
     the plain kernel and the LN+residual-folded variant).
@@ -137,8 +160,8 @@ def _ffn_body(xw, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
     d = d.astype(dt).astype(jnp.float32)                 # Conv rounding
 
     y = d + h_t.astype(dt).astype(jnp.float32)           # (rows, s, hidden)
-    mean = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean(y * y, axis=-1, keepdims=True) - mean * mean
+    mean = _seg_mean(y, seg)
+    var = _seg_mean(y * y, seg) - mean * mean
     a = (y - mean) * jax.lax.rsqrt(var + eps)
     a = a * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
     a = a.astype(dt)                                     # LN output dtype

@@ -49,6 +49,16 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def needs_safe_dwconv_grad(mesh: Mesh) -> bool:
+    """True iff training over this mesh needs the GSPMD-safe depthwise
+    kernel-grad VJP (ops/common.py:set_safe_dwconv_kernel_grad). The
+    jax 0.9 bug (tests/test_tp_grads.py) multiplies the kernel grad by
+    the product of the mesh axes the batch is NOT sharded on — only >=2
+    nontrivial axes can make that product exceed 1, so single-device and
+    pure-dp meshes take XLA's faster native conv grads."""
+    return sum(1 for s in mesh.shape.values() if s > 1) >= 2
+
+
 # Tensor-parallel param layout: shard the widest projection matrices on the
 # 'model' axis. Rules are (path regex, PartitionSpec for the kernel). The
 # model is ~30M params so TP is optional; these rules make the multi-chip

@@ -185,6 +185,13 @@ class Trainer:
         # custom-VJP kernel (caught by the 500-epoch run).
         self.train_model = train_step_model(self.model)
         self.mesh = make_mesh(train_cfg.dp_size, train_cfg.tp_size)
+        # Depthwise kernel-grad VJP: the GSPMD-safe explicit-reduction
+        # backward only where the mesh can trigger the jax 0.9 bug
+        # (>=2 nontrivial axes); XLA's faster native conv grads
+        # otherwise (~6 ms of the bs-24 single-chip step).
+        from transception_tpu.ops.common import set_safe_dwconv_kernel_grad
+        from transception_tpu.parallel.mesh import needs_safe_dwconv_grad
+        set_safe_dwconv_kernel_grad(needs_safe_dwconv_grad(self.mesh))
         os.makedirs(train_cfg.output_dir, exist_ok=True)
         self._setup_logging()
 
