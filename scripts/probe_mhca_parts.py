@@ -33,6 +33,7 @@ STRIPS = [
     ("-ffn", frozenset({"ffn"})),
     ("-attn", frozenset({"attn"})),
     ("-attn-ffn", frozenset({"attn", "ffn"})),
+    ("bf16taps", frozenset({"bf16taps"})),
 ]
 
 

@@ -174,7 +174,7 @@ def main():
 
     rows = sorted(ops.items(), key=lambda kv: -kv[1]["t"])
     print(f"{'ms':>8} {'GB':>7} {'GB/s':>6}  op / tf_op")
-    for name, r in rows[:45]:
+    for name, r in rows[:160]:
         t = r["t"] / iters
         gb = r["bytes"] / iters / 1e9
         bw = (gb / t) if t > 0 else 0

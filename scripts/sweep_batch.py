@@ -20,13 +20,16 @@ import jax.numpy as jnp
 
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    batches = [int(a) for a in sys.argv[1:]] or [64, 128, 192, 256]
+    fold = "--block-fold" in sys.argv
+    batches = [int(a) for a in sys.argv[1:] if not a.startswith("--")] \
+        or [64, 128, 192, 256]
 
     from transception_tpu.core.config import TransceptionConfig
     from transception_tpu.models.transception import MSTransception
     from transception_tpu.utils.profiling import device_time_per_call
 
-    cfg = TransceptionConfig()
+    cfg = TransceptionConfig(mhca_block_fold=True) if fold \
+        else TransceptionConfig()
     model = MSTransception(cfg)
     x0 = jnp.zeros((1, 224, 224, 1), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(

@@ -170,9 +170,13 @@ class TransceptionConfig:
     # 28.3 ms of MHCA layout roundtrips that per-op folds (mhca_ffn_fold)
     # could not recover. Covers stages 2-3 (even map sides); stage 4's
     # 7x7 maps stay XLA (Mosaic shape-cast). Subsumes mhca_ffn_fold
-    # where eligible. None => follow use_pallas; default pending a
-    # full-graph device measurement (scripts/measure_folds.py).
-    mhca_block_fold: object = False  # Optional[bool]
+    # where eligible. Default True — a MEASURED r5 full-graph win:
+    # 124.0 -> 117.0 ms b=128 (probe_block_fold), after the stage-2
+    # C=64 geometry got lane-packing (two batch rows per 128 lanes,
+    # mhca_block_kernel pack=2: standalone 6.78 -> 4.72 ms/call;
+    # stripped-kernel attribution in scripts/probe_mhca_parts.py).
+    # None => follow use_pallas.
+    mhca_block_fold: object = True  # Optional[bool]
     # Keep the fused MixFFN_skip kernels ON in the TRAIN step (ETB +
     # MHCA folds and the bridge per-scale FFNs), paired with the flash
     # Pallas backward (mixffn_kernel._bwd_kernel_ln): recompute-in-VMEM
@@ -321,8 +325,9 @@ class TrainConfig:
 KERNEL_FALLBACK_OVERRIDES: Tuple[dict, ...] = (
     {},
     dict(bridge_attn_fold=False, bridge_ffn_use_pallas=False,
-         etb_attn_fold=False, etb_ffn_fold=False, mhca_ffn_fold=False),
-    dict(use_pallas=False),
+         etb_attn_fold=False, etb_ffn_fold=False, mhca_ffn_fold=False,
+         mhca_block_fold=False),
+    dict(use_pallas=False, mhca_block_fold=False),
 )
 
 

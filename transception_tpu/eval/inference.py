@@ -118,7 +118,7 @@ def default_transfer_dtype(model):
 
 def make_predictor(model, variables, patch_size: int, batch: int = 32,
                    transfer_dtype=None, mesh=None, kernel_fallback=False,
-                   device_resample: bool = False):
+                   device_resample: bool = False, transfer_quant: int = 0):
     """Returns a fn (D, patch, patch) float32 -> (D, patch, patch) uint8
     running the jitted forward in fixed-size chunks.
 
@@ -145,6 +145,14 @@ def make_predictor(model, variables, patch_size: int, batch: int = 32,
     build, instead of crashing the eval. Folded and unfolded structures
     share one param tree, so the same `variables` fit every rung. The
     compile happens eagerly (at make_predictor time) in this mode.
+
+    transfer_quant: device_resample-only transfer experiment — ship raw
+    slices as uint8 (transfer_quant=8: x_q = round(x*255), dequantized
+    on device) instead of bf16/fp32, halving/quartering H2D bytes
+    (78 -> 39 MB/volume). Valid for [0, 1]-normalized volumes (the
+    prepared Synapse stores [0, 1] floats); quantization error 2e-3 is
+    at the bf16 input-resolution scale but NOT protocol-exact — keep 0
+    for published-number parity. 0 = off.
 
     device_resample: run the protocol's order-3 spline resample ON DEVICE
     as two matmuls against exact scipy-derived operators (_zoom_operator)
@@ -233,6 +241,8 @@ def make_predictor(model, variables, patch_size: int, batch: int = 32,
 
         def _fwd_raw(v, x):  # x: (b, h, w) raw slices
             t = x.astype(jnp.float32)
+            if transfer_quant:
+                t = t * (1.0 / (2 ** transfer_quant - 1))
             t = jnp.einsum("ph,bhw->bpw", a_h, t, precision=hi)
             t = jnp.einsum("bpw,qw->bpq", t, a_w, precision=hi)
             t = (t - 0.5) / 0.5
@@ -280,7 +290,13 @@ def make_predictor(model, variables, patch_size: int, batch: int = 32,
                 pad = batch - chunk.shape[0]
                 if pad:
                     chunk = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
-                outs.append(raw_fwd(chunk.astype(transfer_dtype)))
+                if transfer_quant:
+                    lv = 2 ** transfer_quant - 1
+                    chunk = np.clip(np.round(chunk * lv), 0, lv).astype(
+                        np.uint8 if transfer_quant <= 8 else np.uint16)
+                    outs.append(raw_fwd(chunk))
+                else:
+                    outs.append(raw_fwd(chunk.astype(transfer_dtype)))
             return np.concatenate([np.asarray(o) for o in outs])[:d]
         for c in range(n_chunks):
             chunk = vol[c * batch:(c + 1) * batch]

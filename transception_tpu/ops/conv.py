@@ -23,19 +23,61 @@ Dtype = Any
 
 
 class BatchNorm(nn.Module):
-    """fp32 BatchNorm with torch-equivalent momentum/eps."""
+    """BatchNorm with torch-equivalent momentum/eps. Stats and params are
+    always stored fp32; TRAIN also computes in fp32 (batch-stat
+    accumulation precision). EVAL computes the running-stat affine in the
+    compute dtype: with dtype=fp32 that is the bit-identical old path
+    (the parity/protocol configs), while bf16 eval keeps the conv -> BN
+    chain in bf16 — the old always-fp32 eval forced XLA to materialize an
+    fp32 copy (with a layout change) of every BN input, measured 1.35 ms
+    for ONE stage-3 (128, 14, 14, 128) depthwise conv in the r5 b=128
+    trace. Numerics shift is ~1 bf16 ulp on an output that was rounded to
+    bf16 anyway (golden regression regenerated deliberately in r5)."""
 
     dtype: Dtype = jnp.bfloat16
     scale_init: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32,
-                         scale_init=nn.initializers.constant(self.scale_init),
-                         name="bn")(x)
-        return y.astype(self.dtype)
+        if train or self.dtype == jnp.float32:
+            # flax BatchNorm ignores `dtype` for fp32 params (computes in
+            # fp32 regardless) — exactly what train and the fp32 parity
+            # configs want.
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             param_dtype=jnp.float32,
+                             scale_init=nn.initializers.constant(
+                                 self.scale_init),
+                             name="bn")(x)
+            return y.astype(self.dtype)
+        return _EvalBNAffine(dtype=self.dtype, scale_init=self.scale_init,
+                             name="bn")(x)
+
+
+class _EvalBNAffine(nn.Module):
+    """Running-stat BN affine in the compute dtype, on the variable tree
+    nn.BatchNorm creates (params bn/{scale,bias}, batch_stats
+    bn/{mean,var}, all fp32). The rsqrt coefficient is computed fp32 and
+    rounded once; everything per-pixel stays bf16 so XLA keeps the
+    surrounding conv chain bf16 (see BatchNorm docstring)."""
+
+    dtype: Dtype = jnp.bfloat16
+    scale_init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale",
+                           nn.initializers.constant(self.scale_init),
+                           (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((C,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((C,), jnp.float32))
+        a = (jax.lax.rsqrt(var.value + 1e-5) * scale).astype(self.dtype)
+        return ((x.astype(self.dtype) - mean.value.astype(self.dtype)) * a
+                + bias.astype(self.dtype))
 
 
 def hardswish(x):

@@ -58,7 +58,7 @@ def eligible_folded(x_shape, dtype) -> bool:
 
 def _folded_etb_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
                        bk_ref, wv_ref, bv_ref, wp_ref, bp_ref, o_ref, *,
-                       eps: float):
+                       eps: float, seg: int = 1):
     """norm1 -> {q,k,v} Dense -> softmax_d(Q)·(softmax_N(K)ᵀ·V) ->
     reprojection -> + raw-input residual, per batch row.
 
@@ -70,12 +70,15 @@ def _folded_etb_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
     Dense rounds its fp32 accumulator (+fp32 bias) to the compute dtype;
     softmaxes run fp32 and round back; the context rounds before the
     second contraction (ops/attention.py:49-55)."""
+    from transception_tpu.ops.pallas.mixffn_kernel import _seg_max, _seg_mean
+
     f32 = jnp.float32
     dt = o_ref.dtype
     x = x_ref[0]                               # (N, C) dt
+    C = x.shape[-1]
     xf = x.astype(f32)
-    mu = jnp.mean(xf, axis=1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+    mu = _seg_mean(xf, seg)
+    var = _seg_mean(xf * xf, seg) - mu * mu
     # Affine operands stay (1, C) 2-D — Mosaic lane-reshape restriction.
     hn = ((xf - mu) * jax.lax.rsqrt(var + eps) * ls_ref[...].astype(f32)
           + lb_ref[...].astype(f32)).astype(dt)  # (N, C) post-norm1
@@ -94,14 +97,27 @@ def _folded_etb_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
     k_max = jnp.max(kf, axis=0, keepdims=True)
     k_exp = jnp.exp(kf - k_max)
     ks = (k_exp / jnp.sum(k_exp, axis=0, keepdims=True)).astype(dt)
+    # Channel softmax (head_count=1 quirk: over ALL C channels) — with
+    # seg=2 each packed row's channel half is its own softmax domain.
     qf = q.astype(f32)
-    q_max = jnp.max(qf, axis=1, keepdims=True)
+    q_max = _seg_max(qf, seg)
     q_exp = jnp.exp(qf - q_max)
-    qs = (q_exp / jnp.sum(q_exp, axis=1, keepdims=True)).astype(dt)
+    half = C // 2
+    if seg == 2:
+        # _seg_mean's /half then *half is exact (half a power of two).
+        q_den = _seg_mean(q_exp, seg) * half
+    else:
+        q_den = jnp.sum(q_exp, axis=1, keepdims=True)
+    qs = (q_exp / q_den).astype(dt)
 
     ctx = jax.lax.dot_general(
         ks, v, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32).astype(dt)  # (C, C)
+    if seg == 2:
+        # Zero the cross-row quadrants of the packed context.
+        ri = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0) // half
+        ci = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1) // half
+        ctx = ctx * (ri == ci).astype(dt)
     att = jax.lax.dot_general(
         qs, ctx, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32).astype(dt)  # (N, C)
@@ -111,26 +127,53 @@ def _folded_etb_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
     o_ref[0] = (proj.astype(dt).astype(f32) + xf).astype(dt)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "pack"))
 def efficient_attention_block_folded(x, ls, lb, wq, bq, wk, bk, wv, bv,
                                      wp, bp, eps: float = 1e-5,
-                                     interpret: bool = False):
+                                     interpret: bool = False, pack=None):
     """x: (B, N, C) raw block input; LN + 4 Dense params fp32.
     Returns x + reproj(linear_attention(norm1(x))) — see
     _folded_etb_kernel. Raises NotImplementedError outside the VMEM gate.
     Affine params ship as (1, C) 2-D blocks (Mosaic rejects
-    tile-unaligned 1-D fp32 operands)."""
+    tile-unaligned 1-D fp32 operands).
+
+    pack=2: two batch rows ride side-by-side in the lane dim —
+    block-diagonal Dense kernels, segmented LN/softmax stats, cross-row
+    context quadrants masked (same lane-packing as mhca_block_kernel).
+    MEASURED A NET LOSS at the production (128, 3136, 64) geometry
+    (1.42 -> 1.68 ms, scripts/probe_etb_pack.py): unlike the small-map
+    MHCA blocks this kernel is VMEM-pressure-bound — the packed (N, 2C)
+    fp32 temporaries (~1.6 MB each) crowd out Mosaic's grid
+    double-buffering. Default stays unpacked; the knob remains for
+    re-measurement on hardware with larger VMEM."""
     B, N, C = x.shape
     if not eligible_folded(x.shape, x.dtype):
         raise NotImplementedError("shape ineligible for the folded kernel")
     dt = x.dtype
+    if pack is None:
+        pack = 1
+    B_out, C_out = B, C
+    if pack == 2:
+        def dup(a):
+            return jnp.concatenate([a, a], axis=-1)
+
+        def bdiag(wm):
+            z = jnp.zeros_like(wm)
+            return jnp.concatenate(
+                [jnp.concatenate([wm, z], 1), jnp.concatenate([z, wm], 1)],
+                0)
+
+        x = jnp.concatenate([x[:B // 2], x[B // 2:]], axis=-1)
+        wq, wk, wv, wp = map(bdiag, (wq, wk, wv, wp))
+        ls, lb, bq, bk, bv, bp = map(dup, (ls, lb, bq, bk, bv, bp))
+        B, C = B // 2, 2 * C
     row2d = lambda a: a.reshape(1, C)  # noqa: E731
     wcast = lambda w: w.astype(dt)     # noqa: E731
 
     wspec = pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_folded_etb_kernel, eps=eps),
+        functools.partial(_folded_etb_kernel, eps=eps, seg=pack),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
@@ -152,6 +195,8 @@ def efficient_attention_block_folded(x, ls, lb, wq, bq, wk, bk, wv, bv,
         interpret=interpret,
     )(x, row2d(ls), row2d(lb), wcast(wq), row2d(bq), wcast(wk), row2d(bk),
       wcast(wv), row2d(bv), wcast(wp), row2d(bp))
+    if pack == 2:
+        out = jnp.concatenate([out[..., :C_out], out[..., C_out:]], axis=0)
     return out
 
 

@@ -86,23 +86,26 @@ def _vmem_need(s: int, C: int, hidden: int, wmax: int, dtype) -> int:
     )
 
 
-def _dwconv_pad(xm, pad_ref, w_ref, b_ref, *, s: int, k: int, f32=jnp.float32):
+def _dwconv_pad(xm, pad_ref, w_ref, b_ref, *, s: int, k: int):
     """k x k depthwise conv via shifted multiply-adds on a zero-padded VMEM
-    scratch. xm: (s, s, C) fp32; w_ref: (k, k, C); returns (s, s, C) fp32
-    (bias added, not rounded). Column shifts hoisted out of the tap loop
-    (a column shift is a funnel pass; row shifts slice the untiled leading
-    dim for free — mixffn_kernel precedent)."""
+    scratch. xm: (s, s, C); w_ref: (k, k, C); accumulates in the SCRATCH
+    dtype (fp32 in production; the bf16taps probe passes a bf16 scratch
+    to measure packed-VPU tap throughput) and returns (s, s, C) in that
+    dtype, bias added, not rounded. Column shifts hoisted out of the tap
+    loop (a column shift is a funnel pass; row shifts slice the untiled
+    leading dim for free — mixffn_kernel precedent)."""
+    at = pad_ref.dtype
     p = k // 2
-    pad_ref[...] = jnp.pad(xm, ((p, p), (p, p), (0, 0)))
-    w = w_ref[...].astype(f32)
-    acc = jnp.zeros(xm.shape, f32)
+    pad_ref[...] = jnp.pad(xm.astype(at), ((p, p), (p, p), (0, 0)))
+    w = w_ref[...].astype(at)
+    acc = jnp.zeros(xm.shape, at)
     q = pad_ref[...]
     for dj in range(k):
         csh = jax.lax.slice_in_dim(q, dj, dj + s, axis=1)
         for di in range(k):
             sl = jax.lax.slice_in_dim(csh, di, di + s, axis=0)
             acc = acc + sl * w[di, dj][None, None, :]
-    return acc + b_ref[...].astype(f32)
+    return acc + b_ref[...].astype(at)
 
 
 def _ln(xf, s_ref, b_ref, eps: float, seg: int = 1):
@@ -130,8 +133,7 @@ def _kernel(x_ref, cpek_ref, cpeb_ref, l1s_ref, l1b_ref, wq_ref, bq_ref,
     if "cpe" in strip:                                 # attribution probes
         x1 = x
     else:
-        y = _dwconv_pad(x.astype(f32), pad3_ref, cpek_ref, cpeb_ref,
-                        s=s, k=3)
+        y = _dwconv_pad(x, pad3_ref, cpek_ref, cpeb_ref, s=s, k=3)
         x1 = y.astype(dt) + x                          # conv rounds, add dt
     x1t = x1.reshape(N, C)
 
@@ -170,7 +172,7 @@ def _kernel(x_ref, cpek_ref, cpeb_ref, l1s_ref, l1b_ref, wq_ref, bq_ref,
 
         # --- CRPE: unified wmax x wmax depthwise over V, Hadamard w/ Q ---
         if "crpe" not in strip:
-            conv_v = _dwconv_pad(v.reshape(s, s, C).astype(f32), padw_ref,
+            conv_v = _dwconv_pad(v.reshape(s, s, C), padw_ref,
                                  crpek_ref, crpeb_ref, s=s, k=wmax)
             crpe = q.reshape(s, s, C) * conv_v.astype(dt)
             att = att + crpe.reshape(N, C)
@@ -270,6 +272,9 @@ def fused_mhca_block(x, cpe_k, cpe_b, ln1_s, ln1_b, qkv_k, qkv_b,
     mask = (hid[:, None] == hid[None, :]).astype(dt)
 
     scale = float(d) ** -0.5
+    # bf16taps (probe-only): bf16 tap scratch/accumulation for the CPE
+    # and CRPE convs, to measure packed-VPU throughput vs fp32.
+    tapdt = jnp.bfloat16 if "bf16taps" in strip else jnp.float32
     vec = lambda a, n: a.reshape(1, n)  # noqa: E731
 
     def spec(shape):
@@ -302,8 +307,8 @@ def fused_mhca_block(x, cpe_k, cpe_b, ln1_s, ln1_b, qkv_k, qkv_b,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, s, s, C), dt),
         scratch_shapes=[
-            pltpu.VMEM((s + 2, s + 2, C), jnp.float32),
-            pltpu.VMEM((s + wmax - 1, s + wmax - 1, C), jnp.float32),
+            pltpu.VMEM((s + 2, s + 2, C), tapdt),
+            pltpu.VMEM((s + wmax - 1, s + wmax - 1, C), tapdt),
             pltpu.VMEM((s + 2, s + 2, hidden), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(

@@ -111,6 +111,23 @@ def _seg_mean(xf, seg: int):
     return jnp.where(lane < half, m1, m2)
 
 
+def _seg_max(xf, seg: int):
+    """Per-segment max over the minor axis (broadcast back). seg == 2:
+    two where-masked full-lane max reductions + a lane select (max has no
+    sum/difference shortcut)."""
+    if seg == 1:
+        return jnp.max(xf, axis=-1, keepdims=True)
+    width = xf.shape[-1]
+    half = width // 2
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * (xf.ndim - 1) + (width,), xf.ndim - 1)
+    lo = lane < half
+    neg = jnp.float32(-3.4e38)
+    m1 = jnp.max(jnp.where(lo, xf, neg), axis=-1, keepdims=True)
+    m2 = jnp.max(jnp.where(lo, neg, xf), axis=-1, keepdims=True)
+    return jnp.where(lo, m1, m2)
+
+
 def _ffn_body(xw, w1_ref, b1_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
               w2_ref, b2_ref, hp_ref, *, s: int, rows: int, hidden: int,
               eps: float, off, dt, seg: int = 1):

@@ -107,7 +107,11 @@ def train_step_model(model):
     if isinstance(model, MSTransception) and model.cfg.use_pallas \
             and not model.cfg.use_pallas_train:
         over = dict(use_pallas=False, bridge_use_pallas=True,
-                    bridge_ffn_use_pallas=False, bridge_attn_fold=False)
+                    bridge_ffn_use_pallas=False, bridge_attn_fold=False,
+                    # eval-only whole-block MHCA kernel: its backward is
+                    # the jnp-mirror VJP (recomputes through HBM) — keep
+                    # the train step on XLA's fused fwd+bwd
+                    mhca_block_fold=False)
         if model.cfg.ffn_flash_train:
             over.update(bridge_ffn_use_pallas=True, etb_ffn_fold=True,
                         mhca_ffn_fold=True)
